@@ -1,0 +1,135 @@
+"""Pose-only bundle adjustment (landmarks fixed).
+
+Replaces `optimize_pose_only` (optimization.cpp:290-436): unary
+PoseOnlyEdgeProjection edges and a dense solver, same adaptive chi2 loop,
+updates only poses. Because edges are unary, the normal equations decouple
+into independent 6x6 systems per keyframe — we batch all K solves as one
+(K, 6, 6) `jnp.linalg.solve`, i.e. the whole backend step is a couple of
+einsums regardless of K.
+
+Filter semantics match the reference: landmarks participate if `is_inlier`
+(reliable_depth NOT required, optimization.cpp:332-337).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from stereo_visual_slam_tpu.ba import residuals as res
+from stereo_visual_slam_tpu.ba.schur_lm import BAProblem, _maybe_psum
+from stereo_visual_slam_tpu.geom import se3
+
+
+class PoseOnlyResult(NamedTuple):
+    T_c_w: jnp.ndarray
+    chi2_edges: jnp.ndarray
+    landmark_inlier: jnp.ndarray
+    chi2_threshold: jnp.ndarray
+    cost: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "axis_name"))
+def optimize_pose_only(
+    problem: BAProblem,
+    K: jnp.ndarray,
+    *,
+    iters: int,
+    huber_delta: float = 5.991,
+    chi2_threshold: float = 5.991,
+    adaptive_rounds: int = 5,
+    target_inlier_ratio: float = 0.5,
+    lambda_init: float = 1e-4,
+    lambda_up: float = 10.0,
+    lambda_down: float = 0.5,
+    axis_name: Optional[str] = None,
+) -> PoseOnlyResult:
+    dtype = problem.points.dtype
+    nK = problem.T_c_w.shape[0]
+    eye6 = jnp.eye(6, dtype=dtype)
+    free = problem.pose_mask * (1.0 - problem.fixed_pose)  # (K,)
+
+    def linearize(T):
+        r, Jp, depth_ok = res.reprojection_residual_jac(
+            T[None, :, :, :], problem.points[:, None, :], problem.uv, K
+        )
+        return r, Jp, depth_ok
+
+    def weights(r, depth_ok):
+        return (
+            problem.obs_mask
+            * problem.point_mask[:, None]
+            * problem.pose_mask[None, :]
+            * depth_ok
+            * res.huber_weight(r, huber_delta)
+        )
+
+    def robust_cost(r, depth_ok):
+        n = jnp.linalg.norm(r, axis=-1)
+        d = huber_delta
+        rho = jnp.where(n <= d, n * n, 2.0 * d * n - d * d)
+        m = (
+            problem.obs_mask
+            * problem.point_mask[:, None]
+            * problem.pose_mask[None, :]
+            * depth_ok
+        )
+        return _maybe_psum(jnp.sum(rho * m), axis_name)
+
+    def body(_, carry):
+        T, lam, cost = carry
+        r, Jp, depth_ok = linearize(T)
+        w = weights(r, depth_ok)
+        H = jnp.einsum("lkri,lkrj,lk->kij", Jp, Jp, w)        # (K,6,6)
+        b = -jnp.einsum("lkri,lkr,lk->ki", Jp, r, w)          # (K,6)
+        H = _maybe_psum(H, axis_name)
+        b = _maybe_psum(b, axis_name)
+        H = H + lam * eye6 * jnp.maximum(
+            jnp.einsum("kii->k", H)[:, None, None] / 6.0, 1.0
+        ) + eye6 * 1e-8
+        dxi = jnp.linalg.solve(H, b[..., None])[..., 0]       # (K,6)
+        dxi = dxi * free[:, None]
+        T_new = se3.normalize_rotation(se3.exp(dxi) @ T)
+        r2, _, d2 = linearize(T_new)
+        cost_new = robust_cost(r2, d2)
+        accept = cost_new < cost
+        T = jnp.where(accept, T_new, T)
+        lam = jnp.where(
+            accept,
+            jnp.maximum(lam * lambda_down, 1e-10),
+            jnp.minimum(lam * lambda_up, 1e8),
+        )
+        cost = jnp.where(accept, cost_new, cost)
+        return T, lam, cost
+
+    r0, _, d0 = linearize(problem.T_c_w)
+    cost0 = robust_cost(r0, d0)
+    T, lam, cost = jax.lax.fori_loop(
+        0, iters, body, (problem.T_c_w, jnp.asarray(lambda_init, dtype), cost0)
+    )
+
+    r, _, depth_ok = linearize(T)
+    chi2 = jnp.sum(r * r, axis=-1)
+    m = (
+        problem.obs_mask
+        * problem.point_mask[:, None]
+        * problem.pose_mask[None, :]
+        * depth_ok
+    )
+    n_edges = _maybe_psum(jnp.sum(m), axis_name)
+
+    def adapt_body(_, th):
+        n_in = _maybe_psum(jnp.sum((chi2 <= th) * m), axis_name)
+        ratio = n_in / jnp.maximum(n_edges, 1.0)
+        return jnp.where(ratio > target_inlier_ratio, th, th * 2.0)
+
+    th = jax.lax.fori_loop(
+        0, adaptive_rounds, adapt_body, jnp.asarray(chi2_threshold, dtype)
+    )
+    worst = jnp.max(jnp.where(m > 0, chi2, 0.0), axis=1)
+    has_obs = jnp.sum(m, axis=1) > 0
+    landmark_inlier = (worst <= th) & has_obs
+    return PoseOnlyResult(T, chi2, landmark_inlier, th, cost)

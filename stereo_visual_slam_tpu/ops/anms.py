@@ -1,0 +1,52 @@
+"""Adaptive non-maximal suppression, vectorized.
+
+Reference: VO::adaptive_non_maximal_suppresion (visual_odometry.cpp:96-157):
+for each keypoint i (sorted by response desc) the suppression radius is the
+distance to the nearest keypoint j with response_j > 1.11 * response_i; keep
+the `num` keypoints with the largest radii.
+
+The reference's O(n^2) double loop becomes one masked n x n distance matrix +
+row-min + top_k — at n=3000 that is a 9M-element elementwise op + reduction,
+ideal VPU work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("num",))
+def anms(
+    yx: jnp.ndarray, score: jnp.ndarray, *, num: int, robust_coeff: float = 1.11
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Select `num` spatially-uniform keypoints.
+
+    Args:
+      yx: (N, 2) int32 keypoint coords (padding entries have score 0).
+      score: (N,) response; 0 marks padding.
+    Returns:
+      (yx (num, 2), score (num,), radius (num,)); padding entries have
+      score 0 and radius -inf.
+    """
+    valid = score > 0.0
+    s = score.astype(jnp.float32)
+    pts = yx.astype(jnp.float32)
+    # Pairwise squared distances (N, N).
+    d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    # j suppresses i iff s_j > robust_coeff * s_i (and j valid).
+    suppresses = (s[None, :] > robust_coeff * s[:, None]) & valid[None, :]
+    d2 = jnp.where(suppresses, d2, jnp.inf)
+    radius = jnp.sqrt(jnp.min(d2, axis=1))  # inf for the globally strongest
+    radius = jnp.where(valid, radius, -jnp.inf)
+    # Tie-break by response so equal radii (e.g. multiple inf) prefer strength.
+    order_key = radius + s * 1e-9
+    top_r, top_i = jax.lax.top_k(order_key, num)
+    sel_valid = top_r > -jnp.inf
+    return (
+        jnp.where(sel_valid[:, None], yx[top_i], 0),
+        jnp.where(sel_valid, s[top_i], 0.0),
+        jnp.where(sel_valid, radius[top_i], -jnp.inf),
+    )
