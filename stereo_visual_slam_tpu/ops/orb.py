@@ -43,43 +43,67 @@ def brief_pattern(bits: int = 256) -> np.ndarray:
 
 @functools.lru_cache()
 def _centroid_weights(patch: int, radius: int):
-    """Circular-mask y/x moment weight maps for the intensity centroid."""
+    """Circular-mask y/x moment weight maps for the intensity centroid.
+    Cached as NUMPY (never cache jnp arrays from inside a trace)."""
     r = patch // 2
     ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
     mask = (ys * ys + xs * xs) <= radius * radius
     return (
-        jnp.asarray(ys * mask, jnp.float32),
-        jnp.asarray(xs * mask, jnp.float32),
+        (ys * mask).astype(np.float32),
+        (xs * mask).astype(np.float32),
     )
 
 
 def orientations(patches: jnp.ndarray, radius: int = 15) -> jnp.ndarray:
     """Intensity-centroid angle per patch. patches: (N, P, P) -> (N,) rad."""
     P = patches.shape[-1]
-    wy, wx = _centroid_weights(P, radius)
+    wy_np, wx_np = _centroid_weights(P, radius)
+    wy, wx = jnp.asarray(wy_np), jnp.asarray(wx_np)
     m01 = jnp.einsum("npq,pq->n", patches, wy)
     m10 = jnp.einsum("npq,pq->n", patches, wx)
     return jnp.arctan2(m01, m10)
 
 
+_N_ANGLE_BINS = 30  # 12-degree orientation quantization (same as OpenCV ORB)
+
+
 def _sample_pairs(patches: jnp.ndarray, theta: jnp.ndarray, bits: int):
-    """Rotate the pattern by theta per keypoint and sample both points of each
-    pair (nearest neighbor). Returns (vals_a, vals_b): (N, bits) each."""
+    """Rotate the pattern by theta (quantized to 12-degree bins, which makes
+    the descriptor exactly reproducible under small orientation jitter) and
+    sample both points of each pair with bilinear interpolation.
+    Returns (vals_a, vals_b): (N, bits) each."""
     N, P, _ = patches.shape
     r = P // 2
     pat = jnp.asarray(brief_pattern(bits))          # (bits, 2, 2) (y, x)
-    c, s = jnp.cos(theta), jnp.sin(theta)           # (N,)
+    tq = (
+        jnp.round(theta * (_N_ANGLE_BINS / (2.0 * jnp.pi)))
+        * (2.0 * jnp.pi / _N_ANGLE_BINS)
+    )
+    c, s = jnp.cos(tq), jnp.sin(tq)                 # (N,)
     # rotation of (y, x) offsets by theta: x' = c x - s y ; y' = s x + c y
     py, px = pat[..., 0], pat[..., 1]               # (bits, 2)
     ry = s[:, None, None] * px + c[:, None, None] * py   # (N, bits, 2)
     rx = c[:, None, None] * px - s[:, None, None] * py
-    iy = jnp.clip(jnp.round(ry).astype(jnp.int32) + r, 0, P - 1)
-    ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + r, 0, P - 1)
-    flat_idx = iy * P + ix                          # (N, bits, 2)
+    fy = jnp.clip(ry + r, 0.0, P - 1.001)
+    fx = jnp.clip(rx + r, 0.0, P - 1.001)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    wy = fy - y0
+    wx = fx - x0
     flat = patches.reshape(N, P * P)
-    vals = jnp.take_along_axis(
-        flat[:, :, None], flat_idx.reshape(N, -1, 1), axis=1
-    ).reshape(N, bits, 2)
+
+    def take(iy, ix):
+        idx = (iy * P + ix).reshape(N, -1, 1)
+        return jnp.take_along_axis(flat[:, :, None], idx, axis=1).reshape(
+            N, bits, 2
+        )
+
+    vals = (
+        take(y0, x0) * (1 - wy) * (1 - wx)
+        + take(y0, x0 + 1) * (1 - wy) * wx
+        + take(y0 + 1, x0) * wy * (1 - wx)
+        + take(y0 + 1, x0 + 1) * wy * wx
+    )
     return vals[..., 0], vals[..., 1]
 
 
