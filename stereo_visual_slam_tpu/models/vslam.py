@@ -1,0 +1,188 @@
+"""The flagship model: per-frame tracking step as one jitted program.
+
+This is the TPU-native reformulation of `VO::tracking`
+(visual_odometry.cpp:547-646): descriptor matching against the previous
+frame, landmark inheritance, PnP-RANSAC motion estimation, and inlier
+bookkeeping — all inside a single jit with fixed shapes. The host only sees
+a handful of scalars (inlier count, twist norm, yaw) with which it runs the
+keyframe / sanity state machine.
+
+Device state between frames is a `TrackState` table indexed by the current
+frame's detection slots (0..N-1). Features are "alive" where `valid`; each
+live feature carries the id and world position of its landmark — the
+hash-map Feature/Landmark graph of the reference (types_def.hpp:17-121)
+flattened into arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_visual_slam_tpu.geom import se3
+from stereo_visual_slam_tpu.models.frontend import FrameFeatures
+from stereo_visual_slam_tpu.ops import matcher as matcher_ops
+from stereo_visual_slam_tpu.tracking import pnp
+from stereo_visual_slam_tpu.utils.config import Config
+
+
+class TrackState(NamedTuple):
+    yx: jnp.ndarray          # (N, 2) int32
+    valid: jnp.ndarray       # (N,) bool — live feature
+    signs: jnp.ndarray       # (N, 256) descriptor
+    lm_id: jnp.ndarray       # (N,) int32 landmark id, -1 if none
+    lm_pos: jnp.ndarray      # (N, 3) landmark world position
+    lm_reliable: jnp.ndarray  # (N,) bool landmark has reliable depth
+    T_c_w: jnp.ndarray       # (4, 4) pose of this frame
+
+
+class TrackInfo(NamedTuple):
+    n_matches: jnp.ndarray   # () int32 gated matches fed to PnP
+    n_inliers: jnp.ndarray   # () int32 PnP inliers (num_inliers_ analog)
+    twist_norm: jnp.ndarray  # () ||log(T_c_l)||
+    angle_y: jnp.ndarray     # () |yaw(T_c_l)|
+    T_c_l: jnp.ndarray       # (4, 4) last -> current
+
+
+def empty_state(config: Config) -> TrackState:
+    n = config.frontend.n_features
+    bits = config.frontend.descriptor_bits
+    return TrackState(
+        yx=jnp.zeros((n, 2), jnp.int32),
+        valid=jnp.zeros((n,), bool),
+        signs=jnp.zeros((n, bits), jnp.float32),
+        lm_id=-jnp.ones((n,), jnp.int32),
+        lm_pos=jnp.zeros((n, 3), jnp.float32),
+        lm_reliable=jnp.zeros((n,), bool),
+        T_c_w=jnp.eye(4, dtype=jnp.float32),
+    )
+
+
+def make_tracker(config: Config):
+    """Build jitted (track_step, keyframe_update) closed over config."""
+    cam = config.camera
+    mc = config.matcher
+    pc = config.pnp
+    K = jnp.asarray(
+        [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], jnp.float32
+    )
+    n = config.frontend.n_features
+
+    @jax.jit
+    def track_step(
+        curr: FrameFeatures,
+        prev: TrackState,
+        T_init: jnp.ndarray,
+        frame_gap: jnp.ndarray,
+        rng_key: jnp.ndarray,
+    ):
+        m = matcher_ops.match(
+            prev.signs,
+            prev.valid,
+            curr.signs,
+            curr.valid,
+            frame_gap,
+            base_gate=mc.base_gate,
+            min_dist_factor=mc.min_dist_factor,
+        )
+        # one PnP correspondence per match slot (slot = prev feature index)
+        pts_w = prev.lm_pos
+        uv = jnp.stack(
+            [
+                curr.yx[m.idx_curr][:, 1].astype(jnp.float32),
+                curr.yx[m.idx_curr][:, 0].astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        corr_valid = m.mask & prev.valid & (prev.lm_id >= 0)
+
+        res = pnp.solve_pnp_ransac(
+            pts_w,
+            uv,
+            corr_valid,
+            K,
+            T_init,
+            rng_key,
+            n_hypotheses=pc.n_hypotheses,
+            sample_size=pc.sample_size,
+            inlier_px=pc.inlier_px,
+            gn_iters_hypothesis=pc.gn_iters_hypothesis,
+            gn_iters_refine=pc.gn_iters_refine,
+            huber_px=pc.huber_px,
+        )
+
+        # scatter match-slot results to current-frame detection slots
+        # (cross-check guarantees idx_curr is unique over masked slots)
+        keep = res.inlier_mask                        # (N,) per match slot
+        tgt = m.idx_curr                              # (N,) current slot
+        val_f = keep.astype(jnp.float32)
+        tracked = jnp.zeros((n,), jnp.float32).at[tgt].max(val_f) > 0
+        lm_id = (-jnp.ones((n,), jnp.int32)).at[tgt].max(
+            jnp.where(keep, prev.lm_id, -1)
+        )
+        lm_pos = jnp.zeros((n, 3), jnp.float32).at[tgt].add(
+            prev.lm_pos * val_f[:, None]
+        )
+        lm_rel = jnp.zeros((n,), jnp.float32).at[tgt].max(
+            prev.lm_reliable.astype(jnp.float32) * val_f
+        ) > 0
+
+        T_c_l = res.T_c_w @ se3.inverse(prev.T_c_w)
+        new_state = TrackState(
+            yx=curr.yx,
+            valid=tracked,
+            signs=curr.signs,
+            lm_id=lm_id,
+            lm_pos=lm_pos,
+            lm_reliable=lm_rel,
+            T_c_w=res.T_c_w,
+        )
+        info = TrackInfo(
+            n_matches=jnp.sum(corr_valid.astype(jnp.int32)),
+            n_inliers=res.n_inliers,
+            twist_norm=jnp.linalg.norm(se3.log(T_c_l)),
+            angle_y=se3.angle_y(T_c_l),
+            T_c_l=T_c_l,
+        )
+        return new_state, info
+
+    @jax.jit
+    def keyframe_update(
+        state: TrackState, curr: FrameFeatures, next_lm_id: jnp.ndarray
+    ):
+        """Spawn landmarks for untracked features with valid depth and
+        upgrade tracked landmarks that just became reliable
+        (VO::insert_key_frame, visual_odometry.cpp:348-432)."""
+        T_w_c = se3.inverse(state.T_c_w)
+        pts_w_new = se3.act(T_w_c, curr.pts_cam)      # (N, 3)
+
+        # upgrade: tracked landmark not yet reliable, current depth reliable
+        upgrade = state.valid & (~state.lm_reliable) & curr.reliable
+        lm_pos = jnp.where(upgrade[:, None], pts_w_new, state.lm_pos)
+        lm_rel = state.lm_reliable | upgrade
+
+        # spawn: untracked detection with valid depth
+        new = (~state.valid) & curr.valid & curr.depth_valid
+        offsets = jnp.cumsum(new.astype(jnp.int32)) - 1
+        new_ids = next_lm_id + offsets
+        lm_id = jnp.where(new, new_ids, state.lm_id)
+        lm_pos = jnp.where(new[:, None], pts_w_new, lm_pos)
+        lm_rel = jnp.where(new, curr.reliable, lm_rel)
+        valid = state.valid | new
+
+        n_new = jnp.sum(new.astype(jnp.int32))
+        out = TrackState(
+            yx=state.yx,
+            valid=valid,
+            signs=state.signs,
+            lm_id=lm_id,
+            lm_pos=lm_pos,
+            lm_reliable=lm_rel,
+            T_c_w=state.T_c_w,
+        )
+        return out, n_new, upgrade
+
+    return track_step, keyframe_update

@@ -1,0 +1,108 @@
+"""Distributed BA / batch frontend tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_visual_slam_tpu.ba import schur_lm
+from stereo_visual_slam_tpu.parallel import batch_frontend, dist_ba
+
+from test_ba import K, make_ba_problem, pose_rmse
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return dist_ba.make_mesh(jax.devices()[:8])
+
+
+def pad_problem_L(problem, L):
+    """Pad the landmark axis to L (divisible by the mesh)."""
+    def pad(x):
+        if x.shape and x.shape[0] == problem.points.shape[0]:
+            widths = [(0, L - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+        return x
+
+    return schur_lm.BAProblem(
+        T_c_w=problem.T_c_w,
+        points=pad(problem.points),
+        uv=pad(problem.uv),
+        obs_mask=pad(problem.obs_mask),
+        point_mask=pad(problem.point_mask),
+        pose_mask=problem.pose_mask,
+        fixed_pose=problem.fixed_pose,
+    )
+
+
+def test_distributed_matches_single_device(rng, mesh):
+    problem, T_gt, pts_gt, _ = make_ba_problem(rng, n_lm=152, px_noise=0.3)
+    problem = pad_problem_L(problem, 160)  # 160 = 8 * 20
+
+    res_single = schur_lm.lm_optimize(problem, K, iters=8)
+    sharded = dist_ba.shard_problem(problem, mesh)
+    res_dist = dist_ba.distributed_lm_optimize(sharded, K, mesh, iters=8)
+
+    np.testing.assert_allclose(
+        np.asarray(res_dist.T_c_w), np.asarray(res_single.T_c_w), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_dist.points), np.asarray(res_single.points), atol=2e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_dist.landmark_inlier),
+        np.asarray(res_single.landmark_inlier),
+    )
+
+
+def test_distributed_converges(rng, mesh):
+    problem, T_gt, pts_gt, _ = make_ba_problem(rng, n_lm=152, px_noise=0.0)
+    problem = pad_problem_L(problem, 160)
+    before = pose_rmse(problem.T_c_w, T_gt)
+    sharded = dist_ba.shard_problem(problem, mesh)
+    res = dist_ba.distributed_lm_optimize(sharded, K, mesh, iters=15)
+    after = pose_rmse(res.T_c_w, T_gt)
+    assert after < before * 0.05
+
+
+def test_distributed_pose_only(rng, mesh):
+    problem, T_gt, pts_gt, _ = make_ba_problem(
+        rng, n_lm=152, point_noise=0.0, px_noise=0.0
+    )
+    problem = problem._replace(points=pts_gt)
+    problem = pad_problem_L(problem, 160)
+    sharded = dist_ba.shard_problem(problem, mesh)
+    res = dist_ba.distributed_pose_only(sharded, K, mesh, iters=10)
+    assert pose_rmse(res.T_c_w, T_gt) < 5e-4
+
+
+def test_batch_frontend_sharded(mesh_config=None):
+    """8 frames extracted at once across 8 devices == sequential results."""
+    from stereo_visual_slam_tpu.data import synthetic
+    from stereo_visual_slam_tpu.models import frontend as frontend_mod
+    from stereo_visual_slam_tpu.utils.config import Config
+
+    cfg = Config()
+    world = synthetic.make_world(cfg, n_frames=8, n_points=4000, seed=1)
+    H, W = cfg.padded_hw
+    lefts, rights = [], []
+    for f, l, r in synthetic.frames(world):
+        lefts.append(np.pad(l, ((0, H - l.shape[0]), (0, W - l.shape[1]))))
+        rights.append(np.pad(r, ((0, H - r.shape[0]), (0, W - r.shape[1]))))
+    left_b = jnp.asarray(np.stack(lefts), jnp.float32)
+    right_b = jnp.asarray(np.stack(rights), jnp.float32)
+
+    mesh = batch_frontend.make_frontend_mesh(jax.devices()[:8])
+    bf = batch_frontend.BatchFrontend(cfg, mesh)
+    batched = bf.extract(left_b, right_b)
+
+    extract = frontend_mod.make_extractor(cfg)
+    single0 = extract(left_b[0], right_b[0])
+    np.testing.assert_array_equal(
+        np.asarray(batched.yx[0]), np.asarray(single0.yx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batched.packed[3]),
+        np.asarray(extract(left_b[3], right_b[3]).packed),
+    )
