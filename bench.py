@@ -26,6 +26,10 @@ def main():
     n_frames = 60
     warmup = 12
 
+    from stereo_visual_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from stereo_visual_slam_tpu.data import synthetic
     from stereo_visual_slam_tpu.pipeline import trajectory as traj_mod
     from stereo_visual_slam_tpu.pipeline.vo import VisualOdometry

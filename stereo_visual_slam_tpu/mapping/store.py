@@ -1,18 +1,24 @@
-"""Sliding-window keyframe/landmark map — host-side bookkeeping.
+"""Sliding-window keyframe/landmark map — arena-based, vectorized host store.
 
 Replaces the reference's `Map` (map.hpp:15-81, map.cpp): hash maps of
 keyframes and landmarks, observation back-links, the 10-keyframe sliding
 window with distance-based eviction (map.cpp:48-130) and landmark GC
 (map.cpp:132-152).
 
-Design: control flow and small mutable state live on the host in numpy
-(exact mirror of the reference's role for Map), while every BA call gets a
-dense padded (L, K) observation grid assembled here and shipped to the
-device in one transfer. A native C++ implementation with the same interface
-lives in native/mapstore.cpp (bound via ctypes) for the production path.
+Design: landmarks live in a flat ARENA of parallel numpy arrays (position,
+reliable, inlier, observation count) with a free-list; landmark ids map to
+arena rows through a dense id->row table. Every mutation the pipeline
+performs per keyframe (spawn, observe, upgrade, evict, GC) is a vectorized
+numpy operation over row index arrays — no per-feature Python loops, no
+per-landmark objects. Keyframes store their features as fixed-size
+slot-indexed arrays referencing arena rows.
 
-A keyframe's features are stored as fixed-size arrays (slot-indexed like the
-device TrackState), so assembly is pure vectorized numpy.
+`assemble_schedule_input` produces the dense (L, K) window consumed by the
+single-dispatch BA schedule (ba/schedule.py) in one pass of fancy indexing.
+
+The same layout is implemented natively in native/mapstore.cpp for the
+production runtime; this module is the reference implementation and test
+oracle for it.
 """
 
 from __future__ import annotations
@@ -42,9 +48,7 @@ def se3_log_norm(T: np.ndarray) -> float:
             * theta
             / (2.0 * np.sin(theta))
         )
-        wx = np.array(
-            [[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]]
-        )
+        wx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
         t2 = theta * theta
         Vinv = (
             np.eye(3)
@@ -61,53 +65,90 @@ def se3_log_norm(T: np.ndarray) -> float:
 class Keyframe:
     keyframe_id: int
     frame_id: int
-    T_c_w: np.ndarray           # (4, 4)
-    lm_ids: np.ndarray          # (N,) int64, -1 where no landmark
-    uv: np.ndarray              # (N, 2) f32 pixel (x, y)
-    valid: np.ndarray           # (N,) bool
-
-
-@dataclasses.dataclass
-class Landmark:
-    landmark_id: int
-    position: np.ndarray        # (3,) world
-    reliable_depth: bool
-    is_inlier: bool = True
-    observed_times: int = 0
+    T_c_w: np.ndarray        # (4, 4)
+    rows: np.ndarray         # (N,) int32 arena rows, -1 where no landmark
+    uv: np.ndarray           # (N, 2) f32 pixel (x, y)
+    valid: np.ndarray        # (N,) bool
 
 
 class MapStore:
-    """Sliding-window map. All mutation is host-side; `assemble_ba` produces
-    the dense device payload."""
+    """Arena-backed sliding-window map."""
+
+    ARENA_CAP = 1 << 15          # 32768 live landmarks (window holds < 5k)
+    ID_TABLE_CHUNK = 1 << 20     # id->row table growth quantum
 
     def __init__(self, config: Config):
         self.config = config
+        cap = self.ARENA_CAP
+        self.pos = np.zeros((cap, 3), np.float32)
+        self.reliable = np.zeros(cap, bool)
+        self.inlier = np.zeros(cap, bool)
+        self.obs_count = np.zeros(cap, np.int32)
+        self.row_id = np.full(cap, -1, np.int64)       # arena row -> lm id
+        self.alive = np.zeros(cap, bool)
+        self._free = list(range(cap - 1, -1, -1))      # pop() yields 0 first
+        self.id_to_row = np.full(self.ID_TABLE_CHUNK, -1, np.int32)
+
         self.keyframes: Dict[int, Keyframe] = {}
-        self.landmarks: Dict[int, Landmark] = {}
         self.current_keyframe_id: int = -1
-        self.evicted: List[Keyframe] = []   # drained by the trajectory writer
+        self.evicted: List[Keyframe] = []
 
-    # ------------------------------------------------------------- inserts
-    def insert_landmark(self, lm: Landmark):
-        self.landmarks[lm.landmark_id] = lm
+    # ------------------------------------------------------------- landmarks
+    def _ensure_id_table(self, max_id: int):
+        if max_id >= len(self.id_to_row):
+            grow = (
+                (max_id // self.ID_TABLE_CHUNK + 1) * self.ID_TABLE_CHUNK
+            )
+            new = np.full(grow, -1, np.int32)
+            new[: len(self.id_to_row)] = self.id_to_row
+            self.id_to_row = new
 
+    def spawn(self, ids: np.ndarray, pos: np.ndarray, reliable: np.ndarray):
+        """Insert new landmarks (vectorized). ids int64 (M,)."""
+        m = len(ids)
+        if m == 0:
+            return
+        if m > len(self._free):
+            raise RuntimeError("landmark arena exhausted")
+        rows = np.array([self._free.pop() for _ in range(m)], np.int32)
+        self.pos[rows] = pos
+        self.reliable[rows] = reliable
+        self.inlier[rows] = True
+        self.obs_count[rows] = 0
+        self.row_id[rows] = ids
+        self.alive[rows] = True
+        self._ensure_id_table(int(ids.max()))
+        self.id_to_row[ids] = rows
+
+    def rows_of(self, ids: np.ndarray) -> np.ndarray:
+        """(M,) int32 rows, -1 for unknown/GC'd ids."""
+        ids = np.asarray(ids, np.int64)
+        out = np.full(len(ids), -1, np.int32)
+        ok = (ids >= 0) & (ids < len(self.id_to_row))
+        out[ok] = self.id_to_row[ids[ok]]
+        return out
+
+    def upgrade(self, rows: np.ndarray, pos: np.ndarray):
+        """Landmarks whose depth just became reliable
+        (visual_odometry.cpp:395-399)."""
+        if len(rows):
+            self.pos[rows] = pos
+            self.reliable[rows] = True
+
+    # ------------------------------------------------------------- keyframes
     def insert_keyframe(self, kf: Keyframe):
         """Insert + count observations; evict if the window overflows
         (Map::insert_keyframe, map.cpp:13-33)."""
         self.keyframes[kf.keyframe_id] = kf
         self.current_keyframe_id = kf.keyframe_id
-        for lm_id in kf.lm_ids[kf.valid]:
-            lm = self.landmarks.get(int(lm_id))
-            if lm is not None:
-                lm.observed_times += 1
+        rows = kf.rows[kf.valid & (kf.rows >= 0)]
+        self.obs_count[rows] += 1
         if len(self.keyframes) > self.config.keyframe.window_size:
             self.remove_keyframe()
 
-    # ------------------------------------------------------------- eviction
     def remove_keyframe(self):
-        """Distance rule of map.cpp:48-130: among the other keyframes, evict
-        the CLOSEST to the current one if its distance < 0.2, else the
-        FARTHEST."""
+        """Distance rule of map.cpp:48-130: evict the CLOSEST keyframe to the
+        current one if its distance < 0.2, else the FARTHEST."""
         cur = self.keyframes[self.current_keyframe_id]
         T_w_cur = np.linalg.inv(cur.T_c_w)
         min_d, max_d = np.inf, -np.inf
@@ -123,42 +164,38 @@ class MapStore:
         if min_id is None:
             return
         victim_id = (
-            min_id
-            if min_d < self.config.keyframe.eviction_min_dist
-            else max_id
+            min_id if min_d < self.config.keyframe.eviction_min_dist else max_id
         )
         victim = self.keyframes.pop(victim_id)
-        for lm_id in victim.lm_ids[victim.valid]:
-            lm = self.landmarks.get(int(lm_id))
-            if lm is not None:
-                lm.observed_times -= 1
+        rows = victim.rows[victim.valid & (victim.rows >= 0)]
+        self.obs_count[rows] -= 1
         self.evicted.append(victim)
         self.clean_map()
 
     def clean_map(self):
         """GC landmarks with no remaining observations (map.cpp:132-152)."""
-        dead = [k for k, lm in self.landmarks.items() if lm.observed_times <= 0]
-        for k in dead:
-            del self.landmarks[k]
+        dead = np.nonzero(self.alive & (self.obs_count <= 0))[0]
+        if len(dead) == 0:
+            return
+        self.alive[dead] = False
+        self.id_to_row[self.row_id[dead]] = -1
+        self.row_id[dead] = -1
+        self._free.extend(int(r) for r in dead)
 
     # ------------------------------------------------------------- queries
     def n_keyframes(self) -> int:
         return len(self.keyframes)
 
-    def has_landmark(self, lm_id: int) -> bool:
-        return lm_id in self.landmarks
+    def n_landmarks(self) -> int:
+        return int(self.alive.sum())
 
     # ------------------------------------------------------------- BA I/O
-    def assemble_ba(
-        self, require_reliable: bool = True
-    ) -> Optional[Tuple[dict, np.ndarray, np.ndarray]]:
-        """Build the dense (L, K) BA problem arrays.
+    def assemble_schedule_input(self) -> Optional[Tuple[dict, np.ndarray, np.ndarray]]:
+        """Dense (L, K) window for the device BA schedule.
 
-        Landmark filter mirrors optimize_map (optimization.cpp:158-163):
-        is_inlier and (if require_reliable) reliable_depth_.
-
-        Returns (arrays dict, kf_ids (K,), lm_ids (L,)) or None if empty.
-        Arrays are padded to (config.ba.max_landmarks, window_size).
+        Returns (arrays dict matching ba.schedule.ScheduleInput, kf_ids (K,),
+        rows (L,)) or None. Landmark rows = union of rows observed by active
+        keyframes (the schedule applies inlier/reliable filtering on device).
         """
         cfg = self.config
         Kw = cfg.keyframe.window_size
@@ -167,81 +204,73 @@ class MapStore:
         nK = len(kf_ids)
         if nK == 0:
             return None
-        col_of = {int(k): i for i, k in enumerate(kf_ids)}
 
-        sel_ids = [
-            lm_id
-            for lm_id, lm in self.landmarks.items()
-            if lm.is_inlier and (lm.reliable_depth or not require_reliable)
-        ]
-        sel_ids.sort()
-        if not sel_ids:
+        all_rows = np.concatenate(
+            [
+                kf.rows[kf.valid & (kf.rows >= 0)]
+                for kf in self.keyframes.values()
+            ]
+        )
+        sel = np.unique(all_rows)
+        if len(sel) == 0:
             return None
-        if len(sel_ids) > L:
-            sel_ids = sel_ids[:L]
-        row_of = {lm_id: i for i, lm_id in enumerate(sel_ids)}
-        nL = len(sel_ids)
+        if len(sel) > L:
+            sel = sel[:L]
+        nL = len(sel)
 
         T = np.tile(np.eye(4, dtype=np.float32), (Kw, 1, 1))
-        pts = np.zeros((L, 3), np.float32)
         uv = np.zeros((L, Kw, 2), np.float32)
         obs = np.zeros((L, Kw), np.float32)
         pose_mask = np.zeros((Kw,), np.float32)
-        point_mask = np.zeros((L,), np.float32)
+        fixed = np.zeros((Kw,), np.float32)
 
-        for i, lm_id in enumerate(sel_ids):
-            pts[i] = self.landmarks[lm_id].position
-        point_mask[:nL] = 1.0
+        pts = np.zeros((L, 3), np.float32)
+        pts[:nL] = self.pos[sel]
+        inlier = np.zeros((L,), np.float32)
+        inlier[:nL] = self.inlier[sel]
+        reliable = np.zeros((L,), np.float32)
+        reliable[:nL] = self.reliable[sel]
+        present = np.zeros((L,), np.float32)
+        present[:nL] = 1.0
 
-        for kf_id in kf_ids:
+        for k, kf_id in enumerate(kf_ids):
             kf = self.keyframes[int(kf_id)]
-            k = col_of[int(kf_id)]
             T[k] = kf.T_c_w
             pose_mask[k] = 1.0
-            vmask = kf.valid & (kf.lm_ids >= 0)
-            ids = kf.lm_ids[vmask]
-            uvs = kf.uv[vmask]
-            rows = np.array([row_of.get(int(x), -1) for x in ids])
-            okr = rows >= 0
-            uv[rows[okr], k] = uvs[okr]
-            obs[rows[okr], k] = 1.0
+            vm = kf.valid & (kf.rows >= 0)
+            rows = kf.rows[vm]
+            idx = np.searchsorted(sel, rows)
+            ok = (idx < nL) & (sel[np.minimum(idx, nL - 1)] == rows)
+            uv[idx[ok], k] = kf.uv[vm][ok]
+            obs[idx[ok], k] = 1.0
 
-        fixed = np.zeros((Kw,), np.float32)
-        if cfg.ba.fix_oldest_pose and nK > 0:
-            fixed[0] = 1.0  # kf_ids sorted: col 0 is the oldest
+        if cfg.ba.fix_oldest_pose:
+            fixed[0] = 1.0
 
         arrays = dict(
             T_c_w=T,
             points=pts,
             uv=uv,
             obs_mask=obs,
-            point_mask=point_mask,
+            inlier=inlier,
+            reliable=reliable,
+            present=present,
             pose_mask=pose_mask,
             fixed_pose=fixed,
         )
-        return arrays, kf_ids, np.array(sel_ids, dtype=np.int64)
+        return arrays, kf_ids, sel
 
-    def write_back(
+    def write_back_schedule(
         self,
         kf_ids: np.ndarray,
-        lm_ids: np.ndarray,
-        T_c_w: Optional[np.ndarray] = None,
-        points: Optional[np.ndarray] = None,
-        landmark_inlier: Optional[np.ndarray] = None,
+        rows: np.ndarray,
+        T_c_w: np.ndarray,
+        inlier: np.ndarray,
     ):
-        """Write BA results into the map (optimize_map writeback,
-        optimization.cpp:254-287)."""
-        if T_c_w is not None:
-            for i, kf_id in enumerate(kf_ids):
-                if int(kf_id) in self.keyframes:
-                    self.keyframes[int(kf_id)].T_c_w = np.asarray(
-                        T_c_w[i], np.float32
-                    )
-        for i, lm_id in enumerate(lm_ids):
-            lm = self.landmarks.get(int(lm_id))
-            if lm is None:
-                continue
-            if points is not None:
-                lm.position = np.asarray(points[i], np.float32)
-            if landmark_inlier is not None:
-                lm.is_inlier = bool(landmark_inlier[i])
+        """Apply BA schedule results: optimized poses + inlier verdicts."""
+        for i, kf_id in enumerate(kf_ids):
+            kf = self.keyframes.get(int(kf_id))
+            if kf is not None:
+                kf.T_c_w = np.asarray(T_c_w[i], np.float32)
+        live = self.alive[rows]
+        self.inlier[rows[live]] = inlier[: len(rows)][live]

@@ -47,6 +47,19 @@ class TrackInfo(NamedTuple):
     T_c_l: jnp.ndarray       # (4, 4) last -> current
 
 
+class StepInfo(NamedTuple):
+    """Everything the host needs from one fused frame step — ONE transfer."""
+
+    n_matches: jnp.ndarray
+    n_inliers: jnp.ndarray
+    twist_norm: jnp.ndarray
+    angle_y: jnp.ndarray
+    T_c_l: jnp.ndarray
+    ok: jnp.ndarray          # () bool — motion sanity verdict
+    is_keyframe: jnp.ndarray  # () bool
+    n_new: jnp.ndarray       # () int32 landmarks spawned (0 if not keyframe)
+
+
 def empty_state(config: Config) -> TrackState:
     n = config.frontend.n_features
     bits = config.frontend.descriptor_bits
@@ -186,3 +199,71 @@ def make_tracker(config: Config):
         return out, n_new, upgrade
 
     return track_step, keyframe_update
+
+
+def make_full_step(config: Config, extract):
+    """The whole per-frame program as ONE dispatch: feature extraction,
+    matching, PnP, motion sanity check, keyframe decision, and (branchless)
+    keyframe landmark spawning. The host receives a small `StepInfo` and the
+    already-selected next state — over the TPU tunnel this is 1 upload +
+    1 dispatch + 1 scalar fetch per frame instead of dozens.
+
+    Sanity + keyframe rules evaluated on device:
+      ok    = inliers >= 10  and  ||log(T_c_l)|| <= 5 * frame_gap
+              (check_motion_estimation, visual_odometry.cpp:316-346)
+      is_kf = ok and not (inliers >= 80 and |yaw| < 0.03)
+              (insert_key_frame, visual_odometry.cpp:353)
+    """
+    track_step, keyframe_update = make_tracker(config)
+    pc = config.pnp
+    kc = config.keyframe
+
+    @jax.jit
+    def full_step(
+        images: jnp.ndarray,       # (2, H, W) uint8 or f32 — left, right
+        prev: TrackState,
+        T_init: jnp.ndarray,
+        frame_gap: jnp.ndarray,
+        rng_key: jnp.ndarray,
+        next_lm_id: jnp.ndarray,
+    ):
+        left = images[0].astype(jnp.float32)
+        right = images[1].astype(jnp.float32)
+        feats = extract(left, right)
+        tracked, tinfo = track_step(feats, prev, T_init, frame_gap, rng_key)
+
+        ok = (tinfo.n_inliers >= pc.min_inliers) & (
+            tinfo.twist_norm <= pc.max_twist * frame_gap
+        )
+        is_kf = ok & ~(
+            (tinfo.n_inliers >= kc.min_inliers_skip)
+            & (tinfo.angle_y < kc.max_yaw_skip)
+        )
+
+        kf_state, n_new, upgrades = keyframe_update(tracked, feats, next_lm_id)
+
+        def select(a, b, flag):
+            return jax.tree.map(
+                lambda x, y: jnp.where(
+                    flag.reshape((1,) * x.ndim) if x.ndim else flag, x, y
+                ),
+                a,
+                b,
+            )
+
+        state = select(kf_state, tracked, is_kf)
+        state = select(state, prev, ok)
+
+        info = StepInfo(
+            n_matches=tinfo.n_matches,
+            n_inliers=tinfo.n_inliers,
+            twist_norm=tinfo.twist_norm,
+            angle_y=tinfo.angle_y,
+            T_c_l=tinfo.T_c_l,
+            ok=ok,
+            is_keyframe=is_kf,
+            n_new=jnp.where(is_kf, n_new, 0),
+        )
+        return state, info, upgrades
+
+    return full_step

@@ -5,17 +5,20 @@ flow of the reference:
 
   * state machine Init -> Track -> Lost with a 10-failure fuse
     (VO::pipeline, visual_odometry.cpp:649-706),
-  * motion sanity check: >= 10 inliers and ||log(T_c_l)|| <= 5 * frame_gap
-    (check_motion_estimation, :316-346),
-  * keyframe rule: insert unless (inliers >= 80 and |yaw| < 0.03) (:353),
+  * motion sanity check and keyframe rule evaluated ON DEVICE inside the
+    fused per-frame step (models/vslam.py make_full_step),
   * on rejection the previous frame is KEPT so the matcher gate and motion
-    gate scale with the growing frame gap (:239, :328),
-  * BA schedule per inserted keyframe once the window is full
-    (run_vslam.cpp:58-71): 2 classify-only passes (5 iters), one full BA
-    writing poses but NOT landmarks (10 iters), one pose-only pass (10),
+    gate scale with the growing frame gap (visual_odometry.cpp:239, :328),
+  * per inserted keyframe, the complete BA schedule of run_vslam.cpp:58-71
+    runs as ONE device dispatch (ba/schedule.py),
   * backend -> frontend feedback: tracking restarts from the BA-optimized
-    pose of the last keyframe (:553-556),
+    pose of the last keyframe (visual_odometry.cpp:553-556),
   * evicted keyframes stream to the trajectory writer (map.cpp:119-122).
+
+Host <-> device traffic per frame: 1 image upload + 1 dispatch + 1 small
+scalar fetch; keyframes add 1 feature-table fetch + 1 BA upload/dispatch/
+fetch cycle. (The first implementation did ~67 blocking round trips per
+frame; over the TPU tunnel that dominated everything.)
 """
 
 from __future__ import annotations
@@ -28,9 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stereo_visual_slam_tpu.ba import pose_only as pose_only_mod
-from stereo_visual_slam_tpu.ba import schur_lm
-from stereo_visual_slam_tpu.mapping.store import Keyframe, Landmark, MapStore
+from stereo_visual_slam_tpu.ba import schedule as ba_schedule
+from stereo_visual_slam_tpu.mapping.store import Keyframe, MapStore
 from stereo_visual_slam_tpu.models import frontend as frontend_mod
 from stereo_visual_slam_tpu.models import vslam
 from stereo_visual_slam_tpu.pipeline.trajectory import TrajectoryWriter
@@ -53,7 +55,9 @@ class VisualOdometry:
     ):
         self.config = config
         self.extract = frontend_mod.make_extractor(config)
-        self.track_step, self.keyframe_update = vslam.make_tracker(config)
+        self.full_step = vslam.make_full_step(config, self.extract)
+        _, self.keyframe_update = vslam.make_tracker(config)
+        self.run_schedule = ba_schedule.make_ba_schedule(config.ba)
         self.map = MapStore(config)
         self.writer = TrajectoryWriter(pose_path) if pose_path else None
         self.enable_ba = enable_ba
@@ -63,31 +67,33 @@ class VisualOdometry:
             [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], jnp.float32
         )
         self.state = TrackState.INIT
-        self.dstate: Optional[vslam.TrackState] = None  # device track state
-        self.T_c_l = np.eye(4, dtype=np.float32)  # last relative motion
+        self.dstate: Optional[vslam.TrackState] = None
+        self.T_c_l = np.eye(4, dtype=np.float32)
         self.last_frame_id = -1
-        self.last_was_keyframe = False
         self.num_lost = 0
         self.next_lm_id = 0
         self.next_kf_id = 0
         self.rng = jax.random.PRNGKey(seed)
-        # per-frame estimates for evaluation: frame_id -> T_c_w
         self.estimates: Dict[int, np.ndarray] = {}
         self.stats: List[dict] = []
 
     # ------------------------------------------------------------------
+    def _upload(self, left: np.ndarray, right: np.ndarray) -> jnp.ndarray:
+        """One transfer for both images, uint8 (KITTI native depth)."""
+        H, W = self.config.padded_hw
+        h, w = left.shape
+        stacked = np.zeros((2, H, W), np.uint8)
+        stacked[0, :h, :w] = np.asarray(left, np.uint8)
+        stacked[1, :h, :w] = np.asarray(right, np.uint8)
+        return jnp.asarray(stacked)
+
     def process(self, frame_id: int, left: np.ndarray, right: np.ndarray) -> dict:
         """Feed one stereo frame. Returns a stats dict for this frame."""
         t0 = time.perf_counter()
-        hw = self.config.padded_hw
-        lp = frontend_mod.prepare_image(jnp.asarray(left), hw)
-        rp = frontend_mod.prepare_image(jnp.asarray(right), hw)
-        feats = self.extract(lp, rp)
-
         if self.state == TrackState.INIT:
-            rec = self._initialize(frame_id, feats)
+            rec = self._initialize(frame_id, left, right)
         elif self.state == TrackState.TRACK:
-            rec = self._track(frame_id, feats)
+            rec = self._track(frame_id, left, right)
         else:
             rec = dict(frame_id=frame_id, state="lost")
         rec["wall_s"] = time.perf_counter() - t0
@@ -95,9 +101,13 @@ class VisualOdometry:
         return rec
 
     # ------------------------------------------------------------------
-    def _initialize(self, frame_id: int, feats) -> dict:
+    def _initialize(self, frame_id: int, left, right) -> dict:
         """First frame: spawn landmarks from stereo, insert keyframe 0
         (VO::initialization, visual_odometry.cpp:491-545)."""
+        images = self._upload(left, right)
+        feats = self.extract(
+            images[0].astype(jnp.float32), images[1].astype(jnp.float32)
+        )
         n = self.config.frontend.n_features
         st = vslam.TrackState(
             yx=feats.yx,
@@ -112,10 +122,9 @@ class VisualOdometry:
             st, feats, jnp.asarray(self.next_lm_id, jnp.int32)
         )
         self.dstate = st
-        self._register_keyframe(frame_id, st)
+        self._register_keyframe(frame_id, upgrades=None)
         self.state = TrackState.TRACK
         self.last_frame_id = frame_id
-        self.last_was_keyframe = True
         self.estimates[frame_id] = np.eye(4, dtype=np.float32)
         return dict(
             frame_id=frame_id,
@@ -125,35 +134,26 @@ class VisualOdometry:
         )
 
     # ------------------------------------------------------------------
-    def _track(self, frame_id: int, feats) -> dict:
+    def _track(self, frame_id: int, left, right) -> dict:
         cfg = self.config
         frame_gap = float(frame_id - self.last_frame_id)
         prev = self.dstate
 
-        # backend->frontend feedback: refresh last pose from the map if the
-        # last frame became a keyframe and BA has since adjusted it
-        if self.last_was_keyframe and self.map.current_keyframe_id >= 0:
-            T_opt = self.map.keyframes[self.map.current_keyframe_id].T_c_w
-            prev = prev._replace(T_c_w=jnp.asarray(T_opt, jnp.float32))
-
-        # constant-velocity prior
+        images = self._upload(left, right)
         T_init = jnp.asarray(self.T_c_l, jnp.float32) @ prev.T_c_w
-
         self.rng, key = jax.random.split(self.rng)
-        new_state, info = self.track_step(
-            feats, prev, T_init, jnp.asarray(frame_gap, jnp.float32), key
-        )
-        info = jax.device_get(info)  # ONE host round-trip for all scalars
-        n_inliers = int(info.n_inliers)
-        twist = float(info.twist_norm)
-        yaw = float(info.angle_y)
 
-        # motion sanity (check_motion_estimation, visual_odometry.cpp:316-346)
-        ok = (
-            n_inliers >= cfg.pnp.min_inliers
-            and twist <= cfg.pnp.max_twist * frame_gap
+        new_state, info_d, upgrades = self.full_step(
+            images,
+            prev,
+            T_init,
+            jnp.asarray(frame_gap, jnp.float32),
+            key,
+            jnp.asarray(self.next_lm_id, jnp.int32),
         )
-        if not ok:
+        info = jax.device_get(info_d)   # one blocking transfer
+
+        if not bool(info.ok):
             self.num_lost += 1
             if self.num_lost > cfg.keyframe.max_lost:
                 self.state = TrackState.LOST
@@ -161,44 +161,22 @@ class VisualOdometry:
                 frame_id=frame_id,
                 state="rejected" if self.state == TrackState.TRACK else "lost",
                 n_matches=int(info.n_matches),
-                n_inliers=n_inliers,
-                twist=twist,
+                n_inliers=int(info.n_inliers),
+                twist=float(info.twist_norm),
             )
 
         self.num_lost = 0
-        # keyframe rule (visual_odometry.cpp:353)
-        is_keyframe = not (
-            n_inliers >= cfg.keyframe.min_inliers_skip
-            and yaw < cfg.keyframe.max_yaw_skip
-        )
-
-        n_new = 0
-        if is_keyframe:
-            new_state, n_new_j, upgrades = self.keyframe_update(
-                new_state, feats, jnp.asarray(self.next_lm_id, jnp.int32)
-            )
-            n_new = int(n_new_j)
-            self._register_keyframe(frame_id, new_state, upgrades)
-
         self.dstate = new_state
         self.T_c_l = np.asarray(info.T_c_l)
         self.last_frame_id = frame_id
-        self.last_was_keyframe = is_keyframe
-        self.estimates[frame_id] = np.asarray(new_state.T_c_w)
 
+        is_keyframe = bool(info.is_keyframe)
         ba_stats = {}
-        if (
-            is_keyframe
-            and self.enable_ba
-            and self.map.n_keyframes() >= cfg.keyframe.window_size
-        ):
-            ba_stats = self._run_ba_schedule()
-            # pose feedback into the device state
-            T_opt = self.map.keyframes[self.map.current_keyframe_id].T_c_w
-            self.dstate = self.dstate._replace(
-                T_c_w=jnp.asarray(T_opt, jnp.float32)
-            )
-            self.estimates[frame_id] = np.asarray(T_opt)
+        if is_keyframe:
+            self._register_keyframe(frame_id, upgrades)
+            if self.enable_ba and self.map.n_keyframes() >= cfg.keyframe.window_size:
+                ba_stats = self._run_ba()
+        self.estimates[frame_id] = np.asarray(self.dstate.T_c_w)
 
         self._drain_evicted()
         return dict(
@@ -206,138 +184,78 @@ class VisualOdometry:
             state="tracked",
             keyframe=is_keyframe,
             n_matches=int(info.n_matches),
-            n_inliers=n_inliers,
-            n_new_landmarks=n_new,
-            twist=twist,
-            yaw=yaw,
+            n_inliers=int(info.n_inliers),
+            n_new_landmarks=int(info.n_new),
+            twist=float(info.twist_norm),
+            yaw=float(info.angle_y),
             **ba_stats,
         )
 
     # ------------------------------------------------------------------
-    def _register_keyframe(self, frame_id: int, st: vslam.TrackState, upgrades=None):
-        """Pull the keyframe's feature table to the host and update the map
-        (VO::insert_key_frame bookkeeping, visual_odometry.cpp:358-427)."""
-        yx, valid, lm_id, lm_pos, lm_rel, T_c_w = jax.device_get(
-            (st.yx, st.valid, st.lm_id, st.lm_pos, st.lm_reliable, st.T_c_w)
-        )
+    def _register_keyframe(self, frame_id: int, upgrades=None):
+        """Pull the keyframe's feature table (one transfer) and update the
+        arena map (VO::insert_key_frame bookkeeping,
+        visual_odometry.cpp:358-427) with vectorized numpy."""
+        st = self.dstate
+        fetch = (st.yx, st.valid, st.lm_id, st.lm_pos, st.lm_reliable, st.T_c_w)
+        if upgrades is not None:
+            fetch = fetch + (upgrades,)
+        got = jax.device_get(fetch)
+        yx, valid, lm_id, lm_pos, lm_rel, T_c_w = got[:6]
+        upg = got[6] if upgrades is not None else None
         lm_id = lm_id.astype(np.int64)
-        valid = valid.copy()
-        lm_id = lm_id.copy()
 
-        # spawn / upgrade landmarks
-        for i in np.nonzero(valid)[0]:
-            lid = int(lm_id[i])
-            if lid < 0:
-                continue
-            lm = self.map.landmarks.get(lid)
-            if lm is None:
-                if lid >= self.next_lm_id:  # newly spawned on device
-                    self.map.insert_landmark(
-                        Landmark(
-                            landmark_id=lid,
-                            position=lm_pos[i].copy(),
-                            reliable_depth=bool(lm_rel[i]),
-                        )
-                    )
-                else:
-                    # landmark was GC'd while still tracked; drop the feature
-                    valid[i] = False
-                    lm_id[i] = -1
-            elif upgrades is not None and bool(np.asarray(upgrades)[i]):
-                lm.position = lm_pos[i].copy()
-                lm.reliable_depth = True
+        live = valid & (lm_id >= 0)
+        new_mask = live & (lm_id >= self.next_lm_id)
+        if new_mask.any():
+            self.map.spawn(
+                lm_id[new_mask], lm_pos[new_mask], lm_rel[new_mask]
+            )
+            self.next_lm_id = int(lm_id[new_mask].max()) + 1
 
-        self.next_lm_id = int(max(self.next_lm_id, lm_id.max() + 1))
+        rows = self.map.rows_of(lm_id)
+        known = live & (rows >= 0)
+        if upg is not None:
+            up = known & upg
+            if up.any():
+                self.map.upgrade(rows[up], lm_pos[up])
+
         uv = np.stack([yx[:, 1], yx[:, 0]], axis=-1).astype(np.float32)
         kf = Keyframe(
             keyframe_id=self.next_kf_id,
             frame_id=frame_id,
-            T_c_w=T_c_w,
-            lm_ids=np.where(valid, lm_id, -1),
+            T_c_w=np.asarray(T_c_w, np.float32),
+            rows=np.where(known, rows, -1).astype(np.int32),
             uv=uv,
-            valid=valid,
+            valid=known,
         )
         self.next_kf_id += 1
         self.map.insert_keyframe(kf)
 
     # ------------------------------------------------------------------
-    def _run_ba_schedule(self) -> dict:
-        """The per-keyframe BA schedule of run_vslam.cpp:58-71."""
-        cfg = self.config.ba
-        stats = {}
-        # two classify-only passes: optimize but write back only inlier flags
-        for p in range(cfg.classify_passes):
-            asm = self.map.assemble_ba(require_reliable=True)
-            if asm is None:
-                return stats
-            arrays, kf_ids, lm_ids = asm
-            problem = schur_lm.BAProblem(
-                **{k: jnp.asarray(v) for k, v in arrays.items()}
-            )
-            res = schur_lm.lm_optimize(
-                problem,
-                self.K,
-                iters=cfg.classify_iters,
-                huber_delta=cfg.huber_delta,
-                chi2_threshold=cfg.chi2_threshold,
-                adaptive_rounds=cfg.adaptive_rounds,
-                target_inlier_ratio=cfg.target_inlier_ratio,
-                lambda_init=cfg.lm_lambda_init,
-            )
-            nlm = len(lm_ids)
-            self.map.write_back(
-                kf_ids,
-                lm_ids,
-                landmark_inlier=np.asarray(res.landmark_inlier)[:nlm],
-            )
-
-        # full BA: write back POSES only (run_vslam.cpp:64,
-        # if_update_landmark=false keeps stereo scale pinned)
-        asm = self.map.assemble_ba(require_reliable=True)
-        if asm is not None:
-            arrays, kf_ids, lm_ids = asm
-            problem = schur_lm.BAProblem(
-                **{k: jnp.asarray(v) for k, v in arrays.items()}
-            )
-            res = schur_lm.lm_optimize(
-                problem, self.K, iters=cfg.full_iters,
-                huber_delta=cfg.huber_delta,
-                chi2_threshold=cfg.chi2_threshold,
-                lambda_init=cfg.lm_lambda_init,
-            )
-            nK = len(kf_ids)
-            nlm = len(lm_ids)
-            self.map.write_back(
-                kf_ids,
-                lm_ids,
-                T_c_w=np.asarray(res.T_c_w)[:nK],
-                landmark_inlier=np.asarray(res.landmark_inlier)[:nlm],
-            )
-            stats["ba_cost"] = float(res.cost)
-
-        # pose-only refinement (landmarks fixed, no reliable_depth filter)
-        asm = self.map.assemble_ba(require_reliable=False)
-        if asm is not None:
-            arrays, kf_ids, lm_ids = asm
-            problem = schur_lm.BAProblem(
-                **{k: jnp.asarray(v) for k, v in arrays.items()}
-            )
-            res = pose_only_mod.optimize_pose_only(
-                problem, self.K, iters=cfg.pose_only_iters,
-                huber_delta=cfg.huber_delta,
-                chi2_threshold=cfg.chi2_threshold,
-                lambda_init=cfg.lm_lambda_init,
-            )
-            nK = len(kf_ids)
-            nlm = len(lm_ids)
-            self.map.write_back(
-                kf_ids,
-                lm_ids,
-                T_c_w=np.asarray(res.T_c_w)[:nK],
-                landmark_inlier=np.asarray(res.landmark_inlier)[:nlm],
-            )
-            stats["pose_only_cost"] = float(res.cost)
-        return stats
+    def _run_ba(self) -> dict:
+        """One device dispatch for the whole BA schedule."""
+        asm = self.map.assemble_schedule_input()
+        if asm is None:
+            return {}
+        arrays, kf_ids, rows = asm
+        inp = ba_schedule.ScheduleInput(
+            **{k: jnp.asarray(v) for k, v in arrays.items()}
+        )
+        res = jax.device_get(self.run_schedule(inp, self.K))
+        nK = len(kf_ids)
+        self.map.write_back_schedule(
+            kf_ids, rows, res.T_c_w[:nK], res.inlier[: len(rows)]
+        )
+        # feed the optimized pose back into the live tracking state
+        T_opt = self.map.keyframes[self.map.current_keyframe_id].T_c_w
+        self.dstate = self.dstate._replace(T_c_w=jnp.asarray(T_opt, jnp.float32))
+        # refresh per-frame estimates with the optimized window poses
+        for kf in self.map.keyframes.values():
+            self.estimates[kf.frame_id] = kf.T_c_w
+        return dict(
+            ba_cost=float(res.cost_full), pose_only_cost=float(res.cost_pose)
+        )
 
     # ------------------------------------------------------------------
     def _drain_evicted(self):

@@ -60,9 +60,13 @@ def test_tracking_with_ba(world, tmp_path):
 def test_map_window_bounded(world):
     vo = run_vo(world, 14, enable_ba=False)
     assert vo.map.n_keyframes() <= world.config.keyframe.window_size
-    # every landmark must be observed by at least one active keyframe
-    for lm in vo.map.landmarks.values():
-        assert lm.observed_times > 0
+    # every live landmark must be observed by at least one active keyframe
+    alive = vo.map.alive
+    assert (vo.map.obs_count[alive] > 0).all()
+    # arena bookkeeping consistent: id table round-trips
+    rows = np.nonzero(alive)[0]
+    ids = vo.map.row_id[rows]
+    assert (vo.map.rows_of(ids) == rows).all()
 
 
 def test_pose_row_format():
