@@ -19,6 +19,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from stereo_visual_slam_tpu.utils.precision import precise
+
 from stereo_visual_slam_tpu.ba import residuals as res
 from stereo_visual_slam_tpu.ba.schur_lm import BAProblem, _maybe_psum
 from stereo_visual_slam_tpu.geom import se3
@@ -33,6 +35,7 @@ class PoseOnlyResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "axis_name"))
+@precise
 def optimize_pose_only(
     problem: BAProblem,
     K: jnp.ndarray,

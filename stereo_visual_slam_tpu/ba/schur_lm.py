@@ -39,6 +39,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from stereo_visual_slam_tpu.utils.precision import precise
+
 from stereo_visual_slam_tpu.ba import residuals as res
 from stereo_visual_slam_tpu.geom import se3
 
@@ -68,6 +70,36 @@ def _maybe_psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
+def inv3x3(A: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / det) — pure elementwise
+    VPU math; XLA's batched linalg.inv lowers to a slow LU loop on TPU."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c11 = e * i - f * h
+    c12 = c * h - b * i
+    c13 = b * f - c * e
+    c21 = f * g - d * i
+    c22 = a * i - c * g
+    c23 = c * d - a * f
+    c31 = d * h - e * g
+    c32 = b * g - a * h
+    c33 = a * e - b * d
+    det = a * c11 + b * c21 + c * c31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, jnp.sign(det) * eps + eps)
+    return (
+        jnp.stack(
+            [
+                jnp.stack([c11, c12, c13], axis=-1),
+                jnp.stack([c21, c22, c23], axis=-1),
+                jnp.stack([c31, c32, c33], axis=-1),
+            ],
+            axis=-2,
+        )
+        * inv_det[..., None, None]
+    )
+
+
 def _edge_weights(r, problem, huber_delta, depth_ok):
     w = (
         problem.obs_mask
@@ -93,16 +125,11 @@ def _robust_cost(r, problem, huber_delta, depth_ok, axis_name):
     return _maybe_psum(jnp.sum(rho * m), axis_name)
 
 
-def _build_and_solve(T, P, problem, lam, huber_delta, axis_name):
-    """One linearization + Schur solve. Returns (dxi (K,6), dP (L,3))."""
-    K_mat = problem.uv.dtype  # placeholder; K intrinsics passed via closure
-    raise NotImplementedError  # replaced below; kept for readability
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("iters", "update_points", "axis_name"),
 )
+@precise
 def lm_optimize(
     problem: BAProblem,
     K: jnp.ndarray,
@@ -163,7 +190,7 @@ def lm_optimize(
                 jnp.einsum("lii->l", V)[:, None, None] / 3.0, 1.0
             )
         ) + eye3 * 1e-6
-        V_inv = jnp.linalg.inv(V_d)                            # (L,3,3)
+        V_inv = inv3x3(V_d)                                    # (L,3,3)
 
         if update_points:
             Y = jnp.einsum("lkij,ljm->lkim", Wb, V_inv)        # (L,K,6,3)

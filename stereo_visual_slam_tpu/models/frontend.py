@@ -23,11 +23,20 @@ from stereo_visual_slam_tpu.utils.config import Config
 
 
 class FrameFeatures(NamedTuple):
-    """Fixed-size feature table for one stereo frame (N = config n_features)."""
+    """Fixed-size feature table for one stereo frame.
+
+    N = config max_raw_keypoints: descriptors and stereo depth are computed
+    for ALL raw FAST corners (the matcher searches everything — detection
+    repeatability over the raw set is ~80% vs ~52% for an ANMS subset, and
+    the extra compute is noise for the MXU). `spawn_mask` marks the
+    ANMS-selected uniform subset (config n_features strong) used to spawn
+    NEW features at keyframes, preserving the reference's ANMS-500 behavior
+    (visual_odometry.cpp:82)."""
 
     yx: jnp.ndarray          # (N, 2) int32 keypoint coords (row, col)
-    score: jnp.ndarray       # (N,) FAST/ANMS response
+    score: jnp.ndarray       # (N,) FAST response
     valid: jnp.ndarray       # (N,) bool — detected keypoint
+    spawn_mask: jnp.ndarray  # (N,) bool — ANMS-selected subset
     signs: jnp.ndarray       # (N, 256) {-1,+1} descriptor for MXU matching
     packed: jnp.ndarray      # (N, 8) uint32 packed descriptor
     disparity: jnp.ndarray   # (N,) f32
@@ -47,17 +56,17 @@ def make_extractor(config: Config):
     @jax.jit
     def extract(left: jnp.ndarray, right: jnp.ndarray) -> FrameFeatures:
         """left/right: (H, W) padded f32 grayscale."""
-        yx_raw, s_raw = fast_ops.detect(
+        yx, score = fast_ops.detect(
             left,
             max_kp=fe.max_raw_keypoints,
             threshold=fe.fast_threshold,
             border=fe.border_margin,
             valid_hw=(vh, vw),
         )
-        yx, score, _ = anms_ops.anms(
-            yx_raw, s_raw, num=fe.n_features, robust_coeff=fe.anms_robust_coeff
-        )
         valid = score > 0.0
+        spawn_mask = anms_ops.anms_mask(
+            yx, score, num=fe.n_features, robust_coeff=fe.anms_robust_coeff
+        )
         blurred = im_ops.box_blur(left, fe.blur_box)
         packed, signs, _theta = orb_ops.describe(
             blurred, yx, bits=fe.descriptor_bits, patch=fe.patch_size
@@ -83,6 +92,7 @@ def make_extractor(config: Config):
             yx=yx,
             score=score,
             valid=valid,
+            spawn_mask=spawn_mask,
             signs=signs,
             packed=packed,
             disparity=st.disparity,

@@ -37,6 +37,7 @@ class TrackState(NamedTuple):
     lm_pos: jnp.ndarray      # (N, 3) landmark world position
     lm_reliable: jnp.ndarray  # (N,) bool landmark has reliable depth
     T_c_w: jnp.ndarray       # (4, 4) pose of this frame
+    T_c_l: jnp.ndarray       # (4, 4) last relative motion (velocity prior)
 
 
 class TrackInfo(NamedTuple):
@@ -61,7 +62,7 @@ class StepInfo(NamedTuple):
 
 
 def empty_state(config: Config) -> TrackState:
-    n = config.frontend.n_features
+    n = config.frontend.max_raw_keypoints
     bits = config.frontend.descriptor_bits
     return TrackState(
         yx=jnp.zeros((n, 2), jnp.int32),
@@ -71,6 +72,7 @@ def empty_state(config: Config) -> TrackState:
         lm_pos=jnp.zeros((n, 3), jnp.float32),
         lm_reliable=jnp.zeros((n,), bool),
         T_c_w=jnp.eye(4, dtype=jnp.float32),
+        T_c_l=jnp.eye(4, dtype=jnp.float32),
     )
 
 
@@ -82,7 +84,7 @@ def make_tracker(config: Config):
     K = jnp.asarray(
         [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], jnp.float32
     )
-    n = config.frontend.n_features
+    n = config.frontend.max_raw_keypoints
 
     @jax.jit
     def track_step(
@@ -92,14 +94,29 @@ def make_tracker(config: Config):
         frame_gap: jnp.ndarray,
         rng_key: jnp.ndarray,
     ):
+        # motion-guided matching: predict each tracked landmark's position in
+        # the current frame from the constant-velocity prior
+        Xc = se3.act(T_init, prev.lm_pos)
+        z = jnp.maximum(Xc[:, 2], 1e-3)
+        pred_yx = jnp.stack(
+            [
+                K[1, 1] * Xc[:, 1] / z + K[1, 2],   # row (v)
+                K[0, 0] * Xc[:, 0] / z + K[0, 2],   # col (u)
+            ],
+            axis=-1,
+        )
         m = matcher_ops.match(
             prev.signs,
             prev.valid,
             curr.signs,
             curr.valid,
             frame_gap,
+            pred_yx=pred_yx,
+            curr_yx=curr.yx,
+            search_radius=mc.search_radius * frame_gap,
             base_gate=mc.base_gate,
             min_dist_factor=mc.min_dist_factor,
+            margin=mc.margin,
         )
         # one PnP correspondence per match slot (slot = prev feature index)
         pts_w = prev.lm_pos
@@ -152,6 +169,7 @@ def make_tracker(config: Config):
             lm_pos=lm_pos,
             lm_reliable=lm_rel,
             T_c_w=res.T_c_w,
+            T_c_l=T_c_l,
         )
         info = TrackInfo(
             n_matches=jnp.sum(corr_valid.astype(jnp.int32)),
@@ -177,8 +195,10 @@ def make_tracker(config: Config):
         lm_pos = jnp.where(upgrade[:, None], pts_w_new, state.lm_pos)
         lm_rel = state.lm_reliable | upgrade
 
-        # spawn: untracked detection with valid depth
-        new = (~state.valid) & curr.valid & curr.depth_valid
+        # spawn: untracked ANMS-selected detection with valid depth
+        # (same-slot tracked features ARE the exact-coordinate dedup of
+        # visual_odometry.cpp:385-401)
+        new = (~state.valid) & curr.valid & curr.spawn_mask & curr.depth_valid
         offsets = jnp.cumsum(new.astype(jnp.int32)) - 1
         new_ids = next_lm_id + offsets
         lm_id = jnp.where(new, new_ids, state.lm_id)
@@ -195,6 +215,7 @@ def make_tracker(config: Config):
             lm_pos=lm_pos,
             lm_reliable=lm_rel,
             T_c_w=state.T_c_w,
+            T_c_l=state.T_c_l,
         )
         return out, n_new, upgrade
 
@@ -222,14 +243,21 @@ def make_full_step(config: Config, extract):
     def full_step(
         images: jnp.ndarray,       # (2, H, W) uint8 or f32 — left, right
         prev: TrackState,
-        T_init: jnp.ndarray,
         frame_gap: jnp.ndarray,
         rng_key: jnp.ndarray,
         next_lm_id: jnp.ndarray,
     ):
+        # constant-velocity prior, computed ON DEVICE from the state's own
+        # last relative motion — the host never needs to sync a pose to
+        # dispatch the next frame, which enables lookahead pipelining
+        T_init = prev.T_c_l @ prev.T_c_w
         left = images[0].astype(jnp.float32)
         right = images[1].astype(jnp.float32)
         feats = extract(left, right)
+        # stop XLA from fusing the extractor into the tracking consumers —
+        # producer fusion would rematerialize image-sized chains inside the
+        # PnP loops (measured 10x slowdown without the barrier)
+        feats = jax.lax.optimization_barrier(feats)
         tracked, tinfo = track_step(feats, prev, T_init, frame_gap, rng_key)
 
         ok = (tinfo.n_inliers >= pc.min_inliers) & (

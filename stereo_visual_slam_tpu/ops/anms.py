@@ -50,3 +50,25 @@ def anms(
         jnp.where(sel_valid, s[top_i], 0.0),
         jnp.where(sel_valid, radius[top_i], -jnp.inf),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("num",))
+def anms_mask(
+    yx: jnp.ndarray, score: jnp.ndarray, *, num: int, robust_coeff: float = 1.11
+) -> jnp.ndarray:
+    """Like `anms` but returns a boolean mask over the INPUT slots marking
+    the selected subset (keeps everything slot-aligned for pipelines that
+    track features in raw-detection slots)."""
+    valid = score > 0.0
+    s = score.astype(jnp.float32)
+    pts = yx.astype(jnp.float32)
+    d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    suppresses = (s[None, :] > robust_coeff * s[:, None]) & valid[None, :]
+    d2 = jnp.where(suppresses, d2, jnp.inf)
+    radius = jnp.sqrt(jnp.min(d2, axis=1))
+    radius = jnp.where(valid, radius, -jnp.inf)
+    order_key = radius + s * 1e-9
+    top_r, top_i = jax.lax.top_k(order_key, num)
+    sel_valid = top_r > -jnp.inf
+    mask = jnp.zeros(score.shape, bool)
+    return mask.at[top_i].set(sel_valid)

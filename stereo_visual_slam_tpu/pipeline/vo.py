@@ -15,17 +15,22 @@ flow of the reference:
     pose of the last keyframe (visual_odometry.cpp:553-556),
   * evicted keyframes stream to the trajectory writer (map.cpp:119-122).
 
-Host <-> device traffic per frame: 1 image upload + 1 dispatch + 1 small
-scalar fetch; keyframes add 1 feature-table fetch + 1 BA upload/dispatch/
-fetch cycle. (The first implementation did ~67 blocking round trips per
-frame; over the TPU tunnel that dominated everything.)
+Pipelining: `lookahead=1` dispatches the next frame's fused step BEFORE
+syncing the previous frame's scalars — the device state chains on-device
+(the constant-velocity prior lives in the state), so host round-trip
+latency overlaps compute. Costs of the lookahead: keyframe bookkeeping, BA
+feedback and the Lost fuse lag one frame, and a frame following a rejected
+frame uses a 1-too-small matcher gate. PnP estimates absolute poses from
+landmark coordinates, so the lag does not accumulate error. `lookahead=0`
+(default) gives exact reference sequencing.
 """
 
 from __future__ import annotations
 
+import collections
 import enum
 import time
-from typing import Dict, List, Optional
+from typing import Deque, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +57,7 @@ class VisualOdometry:
         pose_path: Optional[str] = None,
         seed: int = 0,
         enable_ba: bool = True,
+        lookahead: int = 0,
     ):
         self.config = config
         self.extract = frontend_mod.make_extractor(config)
@@ -61,6 +67,7 @@ class VisualOdometry:
         self.map = MapStore(config)
         self.writer = TrajectoryWriter(pose_path) if pose_path else None
         self.enable_ba = enable_ba
+        self.lookahead = lookahead
 
         cam = config.camera
         self.K = jnp.asarray(
@@ -68,7 +75,6 @@ class VisualOdometry:
         )
         self.state = TrackState.INIT
         self.dstate: Optional[vslam.TrackState] = None
-        self.T_c_l = np.eye(4, dtype=np.float32)
         self.last_frame_id = -1
         self.num_lost = 0
         self.next_lm_id = 0
@@ -76,6 +82,45 @@ class VisualOdometry:
         self.rng = jax.random.PRNGKey(seed)
         self.estimates: Dict[int, np.ndarray] = {}
         self.stats: List[dict] = []
+        # in-flight pipeline entries: (frame_id, state_handle, info_handle,
+        # upgrades_handle)
+        self.inflight: Deque[Tuple] = collections.deque()
+
+    # ------------------------------------------------------------------
+    def warmup(self):
+        """Compile every device program on dummy data (first compilation of
+        the fused BA schedule takes ~a minute over the remote-compile tunnel;
+        production runs pay it here, not mid-sequence)."""
+        cfg = self.config
+        H, W = cfg.padded_hw
+        images = jnp.zeros((2, H, W), jnp.uint8)
+        st = vslam.empty_state(cfg)
+        key = jax.random.PRNGKey(0)
+        out = self.full_step(
+            images, st, jnp.asarray(1.0, jnp.float32), key,
+            jnp.asarray(0, jnp.int32),
+        )
+        jax.block_until_ready(out)
+        feats = self.extract(
+            images[0].astype(jnp.float32), images[1].astype(jnp.float32)
+        )
+        jax.block_until_ready(
+            self.keyframe_update(st, feats, jnp.asarray(0, jnp.int32))
+        )
+        Kw = cfg.keyframe.window_size
+        L = cfg.ba.max_landmarks
+        inp = ba_schedule.ScheduleInput(
+            T_c_w=jnp.tile(jnp.eye(4, dtype=jnp.float32), (Kw, 1, 1)),
+            points=jnp.ones((L, 3), jnp.float32),
+            uv=jnp.zeros((L, Kw, 2), jnp.float32),
+            obs_mask=jnp.zeros((L, Kw), jnp.float32),
+            inlier=jnp.ones((L,), jnp.float32),
+            reliable=jnp.ones((L,), jnp.float32),
+            present=jnp.ones((L,), jnp.float32),
+            pose_mask=jnp.ones((Kw,), jnp.float32),
+            fixed_pose=jnp.zeros((Kw,), jnp.float32).at[0].set(1.0),
+        )
+        np.asarray(self.run_schedule(inp, self.K).cost_full)
 
     # ------------------------------------------------------------------
     def _upload(self, left: np.ndarray, right: np.ndarray) -> jnp.ndarray:
@@ -87,18 +132,37 @@ class VisualOdometry:
         stacked[1, :h, :w] = np.asarray(right, np.uint8)
         return jnp.asarray(stacked)
 
+    # ------------------------------------------------------------------
     def process(self, frame_id: int, left: np.ndarray, right: np.ndarray) -> dict:
-        """Feed one stereo frame. Returns a stats dict for this frame."""
+        """Feed one stereo frame. With lookahead=0, returns this frame's
+        stats; with lookahead>0, returns the stats of an earlier frame (or a
+        {'state': 'pending'} record while the pipeline fills)."""
         t0 = time.perf_counter()
         if self.state == TrackState.INIT:
             rec = self._initialize(frame_id, left, right)
-        elif self.state == TrackState.TRACK:
-            rec = self._track(frame_id, left, right)
+            rec["wall_s"] = time.perf_counter() - t0
+            self.stats.append(rec)
+            return rec
+        if self.state == TrackState.LOST:
+            return dict(frame_id=frame_id, state="lost", wall_s=0.0)
+
+        self._submit(frame_id, left, right)
+        if len(self.inflight) > self.lookahead:
+            rec = self._collect()
         else:
-            rec = dict(frame_id=frame_id, state="lost")
+            rec = dict(frame_id=frame_id, state="pending")
         rec["wall_s"] = time.perf_counter() - t0
         self.stats.append(rec)
         return rec
+
+    def drain(self) -> List[dict]:
+        """Collect all in-flight frames (call at end of sequence)."""
+        out = []
+        while self.inflight:
+            rec = self._collect()
+            self.stats.append(rec)
+            out.append(rec)
+        return out
 
     # ------------------------------------------------------------------
     def _initialize(self, frame_id: int, left, right) -> dict:
@@ -108,21 +172,14 @@ class VisualOdometry:
         feats = self.extract(
             images[0].astype(jnp.float32), images[1].astype(jnp.float32)
         )
-        n = self.config.frontend.n_features
-        st = vslam.TrackState(
-            yx=feats.yx,
-            valid=jnp.zeros((n,), bool),
-            signs=feats.signs,
-            lm_id=-jnp.ones((n,), jnp.int32),
-            lm_pos=jnp.zeros((n, 3), jnp.float32),
-            lm_reliable=jnp.zeros((n,), bool),
-            T_c_w=jnp.eye(4, dtype=jnp.float32),
+        st = vslam.empty_state(self.config)._replace(
+            yx=feats.yx, signs=feats.signs
         )
         st, n_new, _ = self.keyframe_update(
             st, feats, jnp.asarray(self.next_lm_id, jnp.int32)
         )
         self.dstate = st
-        self._register_keyframe(frame_id, upgrades=None)
+        self._register_keyframe(frame_id, st, upgrades=None)
         self.state = TrackState.TRACK
         self.last_frame_id = frame_id
         self.estimates[frame_id] = np.eye(4, dtype=np.float32)
@@ -134,24 +191,29 @@ class VisualOdometry:
         )
 
     # ------------------------------------------------------------------
-    def _track(self, frame_id: int, left, right) -> dict:
-        cfg = self.config
-        frame_gap = float(frame_id - self.last_frame_id)
-        prev = self.dstate
-
+    def _submit(self, frame_id: int, left, right):
+        frame_gap = float(max(frame_id - self.last_frame_id, 1))
         images = self._upload(left, right)
-        T_init = jnp.asarray(self.T_c_l, jnp.float32) @ prev.T_c_w
         self.rng, key = jax.random.split(self.rng)
-
         new_state, info_d, upgrades = self.full_step(
             images,
-            prev,
-            T_init,
+            self.dstate,
             jnp.asarray(frame_gap, jnp.float32),
             key,
             jnp.asarray(self.next_lm_id, jnp.int32),
         )
-        info = jax.device_get(info_d)   # one blocking transfer
+        # reserve an id range for this frame's potential spawns so
+        # lookahead-dispatched frames never collide
+        self.next_lm_id += self.config.frontend.n_features
+        self.dstate = new_state
+        self.last_frame_id = frame_id
+        self.inflight.append((frame_id, new_state, info_d, upgrades))
+
+    # ------------------------------------------------------------------
+    def _collect(self) -> dict:
+        cfg = self.config
+        frame_id, state_h, info_d, upgrades = self.inflight.popleft()
+        info = jax.device_get(info_d)   # the one blocking sync per frame
 
         if not bool(info.ok):
             self.num_lost += 1
@@ -166,17 +228,20 @@ class VisualOdometry:
             )
 
         self.num_lost = 0
-        self.dstate = new_state
-        self.T_c_l = np.asarray(info.T_c_l)
-        self.last_frame_id = frame_id
-
         is_keyframe = bool(info.is_keyframe)
         ba_stats = {}
         if is_keyframe:
-            self._register_keyframe(frame_id, upgrades)
+            self._register_keyframe(frame_id, state_h, upgrades)
             if self.enable_ba and self.map.n_keyframes() >= cfg.keyframe.window_size:
                 ba_stats = self._run_ba()
-        self.estimates[frame_id] = np.asarray(self.dstate.T_c_w)
+        if is_keyframe:
+            self.estimates[frame_id] = np.asarray(
+                self.map.keyframes[self.map.current_keyframe_id].T_c_w
+            )
+        else:
+            self.estimates[frame_id] = np.asarray(
+                jax.device_get(state_h.T_c_w)
+            )
 
         self._drain_evicted()
         return dict(
@@ -192,31 +257,29 @@ class VisualOdometry:
         )
 
     # ------------------------------------------------------------------
-    def _register_keyframe(self, frame_id: int, upgrades=None):
+    def _register_keyframe(self, frame_id: int, st, upgrades=None):
         """Pull the keyframe's feature table (one transfer) and update the
         arena map (VO::insert_key_frame bookkeeping,
         visual_odometry.cpp:358-427) with vectorized numpy."""
-        st = self.dstate
         fetch = (st.yx, st.valid, st.lm_id, st.lm_pos, st.lm_reliable, st.T_c_w)
         if upgrades is not None:
             fetch = fetch + (upgrades,)
         got = jax.device_get(fetch)
         yx, valid, lm_id, lm_pos, lm_rel, T_c_w = got[:6]
         upg = got[6] if upgrades is not None else None
-        lm_id = lm_id.astype(np.int64)
+        lm_id = lm_id.astype(np.int64).copy()
+        valid = valid.copy()
 
         live = valid & (lm_id >= 0)
-        new_mask = live & (lm_id >= self.next_lm_id)
-        if new_mask.any():
-            self.map.spawn(
-                lm_id[new_mask], lm_pos[new_mask], lm_rel[new_mask]
-            )
-            self.next_lm_id = int(lm_id[new_mask].max()) + 1
+        known_rows = self.map.rows_of(lm_id)
+        is_new = live & (known_rows < 0)
+        if is_new.any():
+            self.map.spawn(lm_id[is_new], lm_pos[is_new], lm_rel[is_new])
 
         rows = self.map.rows_of(lm_id)
         known = live & (rows >= 0)
         if upg is not None:
-            up = known & upg
+            up = known & upg & ~is_new
             if up.any():
                 self.map.upgrade(rows[up], lm_pos[up])
 
@@ -247,9 +310,13 @@ class VisualOdometry:
         self.map.write_back_schedule(
             kf_ids, rows, res.T_c_w[:nK], res.inlier[: len(rows)]
         )
-        # feed the optimized pose back into the live tracking state
+        # feed the optimized pose back into the live tracking state (a small
+        # async device op; with lookahead the correction lands next dispatch)
         T_opt = self.map.keyframes[self.map.current_keyframe_id].T_c_w
-        self.dstate = self.dstate._replace(T_c_w=jnp.asarray(T_opt, jnp.float32))
+        if not self.inflight:
+            self.dstate = self.dstate._replace(
+                T_c_w=jnp.asarray(T_opt, jnp.float32)
+            )
         # refresh per-frame estimates with the optimized window poses
         for kf in self.map.keyframes.values():
             self.estimates[kf.frame_id] = kf.T_c_w
@@ -267,8 +334,9 @@ class VisualOdometry:
         self.map.evicted.clear()
 
     def finish(self):
-        """Flush remaining keyframe poses (write_remaining_pose,
-        map.cpp:198-204)."""
+        """Flush in-flight frames + remaining keyframe poses
+        (write_remaining_pose, map.cpp:198-204)."""
+        self.drain()
         self._drain_evicted()
         if self.writer is not None:
             for kf_id in sorted(self.map.keyframes.keys()):

@@ -83,6 +83,13 @@ def solve_pnp_ransac(
     T_init: motion prior (e.g. constant-velocity extrapolation); hypotheses
     start from it, so convergence per minimal set takes a handful of GN steps.
     """
+    # Fence the inputs: when fused with an upstream matcher, XLA would
+    # otherwise rematerialize the producer chains (e.g. the full N x M
+    # descriptor-distance matrix) inside the RANSAC/GN loops — measured as a
+    # 10x slowdown of the fused per-frame step.
+    pts_w, uv, valid, T_init = jax.lax.optimization_barrier(
+        (pts_w, uv, valid, T_init)
+    )
     N = pts_w.shape[0]
     dtype = pts_w.dtype
 

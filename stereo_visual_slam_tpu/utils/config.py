@@ -47,7 +47,7 @@ class FrontendConfig:
     border_margin: int = 20            # keep keypoints away from image edge
     anms_robust_coeff: float = 1.11    # visual_odometry.cpp:120
     # Description
-    patch_size: int = 37               # extracted patch (covers rBRIEF radius 15 rotated)
+    patch_size: int = 33               # extracted patch (rBRIEF radius 15 + bilinear margin)
     orientation_radius: int = 15       # intensity-centroid circle radius
     descriptor_bits: int = 256         # rBRIEF length
     blur_box: int = 5                  # 5x5 box blur before sampling (BRIEF standard)
@@ -68,6 +68,13 @@ class MatcherConfig:
 
     base_gate: float = 30.0
     min_dist_factor: float = 2.0
+    # robustness additions (see ops/matcher.py): absolute-margin ratio test
+    # (0 disables) and motion-prediction search radius (px, scaled by frame
+    # gap). Swept on the synthetic benchmark: radius 60 with no margin gives
+    # the best inlier count (ambiguous silhouette matches are excluded
+    # geometrically rather than by descriptor distinctiveness).
+    margin: float = 0.0
+    search_radius: float = 60.0
 
 
 @dataclasses.dataclass(frozen=True)
