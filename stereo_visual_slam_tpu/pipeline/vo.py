@@ -85,6 +85,9 @@ class VisualOdometry:
         # in-flight pipeline entries: (frame_id, state_handle, info_handle,
         # upgrades_handle)
         self.inflight: Deque[Tuple] = collections.deque()
+        # deferred BA: (kf_ids, rows, result_handle) — fetched lazily so BA
+        # compute overlaps subsequent frames
+        self.pending_ba: Optional[Tuple] = None
 
     # ------------------------------------------------------------------
     def warmup(self):
@@ -214,6 +217,7 @@ class VisualOdometry:
         cfg = self.config
         frame_id, state_h, info_d, upgrades = self.inflight.popleft()
         info = jax.device_get(info_d)   # the one blocking sync per frame
+        self._apply_pending_ba()        # BA dispatched at an earlier keyframe
 
         if not bool(info.ok):
             self.num_lost += 1
@@ -297,7 +301,8 @@ class VisualOdometry:
 
     # ------------------------------------------------------------------
     def _run_ba(self) -> dict:
-        """One device dispatch for the whole BA schedule."""
+        """Dispatch the whole BA schedule as one async device call; results
+        are fetched lazily at the next collect (_apply_pending_ba)."""
         asm = self.map.assemble_schedule_input()
         if asm is None:
             return {}
@@ -305,13 +310,25 @@ class VisualOdometry:
         inp = ba_schedule.ScheduleInput(
             **{k: jnp.asarray(v) for k, v in arrays.items()}
         )
-        res = jax.device_get(self.run_schedule(inp, self.K))
+        handle = self.run_schedule(inp, self.K)
+        if self.lookahead > 0:
+            self.pending_ba = (kf_ids, rows, handle)
+            return dict(ba_dispatched=True)
+        self.pending_ba = (kf_ids, rows, handle)
+        return self._apply_pending_ba()
+
+    def _apply_pending_ba(self) -> dict:
+        if self.pending_ba is None:
+            return {}
+        kf_ids, rows, handle = self.pending_ba
+        self.pending_ba = None
+        res = jax.device_get(handle)
         nK = len(kf_ids)
         self.map.write_back_schedule(
             kf_ids, rows, res.T_c_w[:nK], res.inlier[: len(rows)]
         )
-        # feed the optimized pose back into the live tracking state (a small
-        # async device op; with lookahead the correction lands next dispatch)
+        # feed the optimized pose back into the live tracking state (only
+        # meaningful when nothing newer is already in flight)
         T_opt = self.map.keyframes[self.map.current_keyframe_id].T_c_w
         if not self.inflight:
             self.dstate = self.dstate._replace(
@@ -337,6 +354,7 @@ class VisualOdometry:
         """Flush in-flight frames + remaining keyframe poses
         (write_remaining_pose, map.cpp:198-204)."""
         self.drain()
+        self._apply_pending_ba()
         self._drain_evicted()
         if self.writer is not None:
             for kf_id in sorted(self.map.keyframes.keys()):
