@@ -59,6 +59,7 @@ class StepInfo(NamedTuple):
     ok: jnp.ndarray          # () bool — motion sanity verdict
     is_keyframe: jnp.ndarray  # () bool
     n_new: jnp.ndarray       # () int32 landmarks spawned (0 if not keyframe)
+    T_c_w: jnp.ndarray       # (4, 4) this frame's estimated pose
 
 
 def empty_state(config: Config) -> TrackState:
@@ -291,6 +292,7 @@ def make_full_step(config: Config, extract):
             ok=ok,
             is_keyframe=is_kf,
             n_new=jnp.where(is_kf, n_new, 0),
+            T_c_w=state.T_c_w,
         )
         return state, info, upgrades
 

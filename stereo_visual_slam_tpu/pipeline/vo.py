@@ -243,9 +243,8 @@ class VisualOdometry:
                 self.map.keyframes[self.map.current_keyframe_id].T_c_w
             )
         else:
-            self.estimates[frame_id] = np.asarray(
-                jax.device_get(state_h.T_c_w)
-            )
+            # pose rides along in the info fetch — no extra round trip
+            self.estimates[frame_id] = np.asarray(info.T_c_w)
 
         self._drain_evicted()
         return dict(
