@@ -19,8 +19,6 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from stereo_visual_slam_tpu.utils.precision import precise
-
 from stereo_visual_slam_tpu.ba import residuals as res
 from stereo_visual_slam_tpu.ba.schur_lm import BAProblem, _maybe_psum
 from stereo_visual_slam_tpu.geom import se3
@@ -34,8 +32,9 @@ class PoseOnlyResult(NamedTuple):
     cost: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "axis_name"))
-@precise
+@functools.partial(
+    jax.jit, static_argnames=("iters", "axis_name", "matmul_precision")
+)
 def optimize_pose_only(
     problem: BAProblem,
     K: jnp.ndarray,
@@ -48,7 +47,9 @@ def optimize_pose_only(
     lambda_init: float = 1e-4,
     lambda_up: float = 10.0,
     lambda_down: float = 0.5,
+    rel_tol: float = 1e-6,
     axis_name: Optional[str] = None,
+    matmul_precision: str = "default",
 ) -> PoseOnlyResult:
     dtype = problem.points.dtype
     nK = problem.T_c_w.shape[0]
@@ -82,39 +83,62 @@ def optimize_pose_only(
         )
         return _maybe_psum(jnp.sum(rho * m), axis_name)
 
-    def body(_, carry):
-        T, lam, cost = carry
-        r, Jp, depth_ok = linearize(T)
-        w = weights(r, depth_ok)
-        H = jnp.einsum("lkri,lkrj,lk->kij", Jp, Jp, w)        # (K,6,6)
-        b = -jnp.einsum("lkri,lkr,lk->ki", Jp, r, w)          # (K,6)
-        H = _maybe_psum(H, axis_name)
-        b = _maybe_psum(b, axis_name)
-        H = H + lam * eye6 * jnp.maximum(
-            jnp.einsum("kii->k", H)[:, None, None] / 6.0, 1.0
-        ) + eye6 * 1e-8
-        dxi = jnp.linalg.solve(H, b[..., None])[..., 0]       # (K,6)
-        dxi = dxi * free[:, None]
+    def residual_cheap(T):
+        return res.residual_only(
+            T[None, :, :, :], problem.points[:, None, :], problem.uv, K
+        )
+
+    def solve(lin, lam):
+        # step-direction math at fast matmul precision; acceptance below is
+        # evaluated on exact residuals (see schur_lm.lm_optimize docstring)
+        with jax.default_matmul_precision(matmul_precision):
+            r, Jp, depth_ok = lin
+            w = weights(r, depth_ok)
+            H = jnp.einsum("lkri,lkrj,lk->kij", Jp, Jp, w)    # (K,6,6)
+            b = -jnp.einsum("lkri,lkr,lk->ki", Jp, r, w)      # (K,6)
+            H = _maybe_psum(H, axis_name)
+            b = _maybe_psum(b, axis_name)
+            H = H + lam * eye6 * jnp.maximum(
+                jnp.einsum("kii->k", H)[:, None, None] / 6.0, 1.0
+            ) + eye6 * 1e-8
+            dxi = jnp.linalg.solve(H, b[..., None])[..., 0]   # (K,6)
+            return dxi * free[:, None]
+
+    def cond_fn(carry):
+        i, _, _, _, _, done = carry
+        return (i < iters) & ~done
+
+    def body(carry):
+        # cached linearization (see schur_lm.lm_body): full Jacobian pass
+        # only on accepted steps, rejections retry on the cached (r, J)
+        i, T, lin, lam, cost = carry[:5]
+        dxi = solve(lin, lam)
         T_new = se3.normalize_rotation(se3.exp(dxi) @ T)
-        r2, _, d2 = linearize(T_new)
+        r2, d2 = residual_cheap(T_new)
         cost_new = robust_cost(r2, d2)
         accept = cost_new < cost
-        T = jnp.where(accept, T_new, T)
+        done = (accept & (cost - cost_new <= rel_tol * cost)) | (lam >= 1e7)
+        T, lin, cost = jax.lax.cond(
+            accept,
+            lambda: (T_new, linearize(T_new), cost_new),
+            lambda: (T, lin, cost),
+        )
         lam = jnp.where(
             accept,
             jnp.maximum(lam * lambda_down, 1e-10),
             jnp.minimum(lam * lambda_up, 1e8),
         )
-        cost = jnp.where(accept, cost_new, cost)
-        return T, lam, cost
+        return i + 1, T, lin, lam, cost, done
 
-    r0, _, d0 = linearize(problem.T_c_w)
-    cost0 = robust_cost(r0, d0)
-    T, lam, cost = jax.lax.fori_loop(
-        0, iters, body, (problem.T_c_w, jnp.asarray(lambda_init, dtype), cost0)
+    lin0 = linearize(problem.T_c_w)
+    cost0 = robust_cost(lin0[0], lin0[2])
+    _, T, _, lam, cost, _ = jax.lax.while_loop(
+        cond_fn, body,
+        (jnp.asarray(0, jnp.int32), problem.T_c_w, lin0,
+         jnp.asarray(lambda_init, dtype), cost0, jnp.asarray(False)),
     )
 
-    r, _, depth_ok = linearize(T)
+    r, depth_ok = residual_cheap(T)
     chi2 = jnp.sum(r * r, axis=-1)
     m = (
         problem.obs_mask

@@ -11,6 +11,12 @@ Reproduces the g2o edge math of the reference (SURVEY.md §3.5):
 Sign convention: we return r = pi(K T P) - u (so GN minimizes ||r||^2 and
 steps use -J^T r; equivalent to the reference up to the global sign).
 
+All math here is EXPLICIT elementwise multiply/add — no `@`, no einsum with
+MXU contractions — so it is bit-exact f32 under ANY ambient
+jax.default_matmul_precision. This is what lets the LM solvers run their
+normal-equation/Schur matmuls at fast (bf16-pass) precision while residual
+evaluation, cost, and acceptance tests stay exact (inexact-Newton).
+
 All functions broadcast over leading batch dimensions and are float32-safe
 (depth clamped away from zero; a `depth_ok` mask flags points behind or too
 close to the camera so callers can zero their contributions).
@@ -25,6 +31,15 @@ import jax.numpy as jnp
 _MIN_Z = 1e-3
 
 
+def transform(T_c_w: jnp.ndarray, pts_w: jnp.ndarray) -> jnp.ndarray:
+    """Rigid transform (..., 4, 4) x (..., 3) -> (..., 3), elementwise
+    (9 multiplies), exact f32 at any matmul precision."""
+    R = T_c_w[..., :3, :3]
+    t = T_c_w[..., :3, 3]
+    # sum_j R[..., i, j] * p[..., j] written as broadcasted mul + reduce
+    return jnp.sum(R * pts_w[..., None, :], axis=-1) + t
+
+
 def project(Xc: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     """Camera-frame points (..., 3) -> pixels (..., 2)."""
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
@@ -34,17 +49,15 @@ def project(Xc: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([u, v], axis=-1)
 
 
-def _proj_jacobian(Xc: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
-    """d(pixel)/d(Xc): (..., 2, 3)."""
-    fx, fy = K[0, 0], K[1, 1]
-    X, Y = Xc[..., 0], Xc[..., 1]
-    Z = jnp.maximum(Xc[..., 2], _MIN_Z)
-    iz = 1.0 / Z
-    iz2 = iz * iz
-    zero = jnp.zeros_like(X)
-    row0 = jnp.stack([fx * iz, zero, -fx * X * iz2], axis=-1)
-    row1 = jnp.stack([zero, fy * iz, -fy * Y * iz2], axis=-1)
-    return jnp.stack([row0, row1], axis=-2)
+def residual_only(
+    T_c_w: jnp.ndarray, pts_w: jnp.ndarray, uv: jnp.ndarray, K: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Residual + depth mask WITHOUT Jacobians — the cheap evaluation used
+    for LM step acceptance and the adaptive chi2 classification, where the
+    full linearization would waste ~2/3 of the edge FLOPs."""
+    Xc = transform(T_c_w, pts_w)
+    depth_ok = (Xc[..., 2] > _MIN_Z).astype(pts_w.dtype)
+    return project(Xc, K) - uv, depth_ok
 
 
 def residual_and_jacobians(
@@ -61,34 +74,43 @@ def residual_and_jacobians(
       J_pose   (..., 2, 6) wrt left-perturbation twist [v, w]
       J_point  (..., 2, 3) wrt world point
       depth_ok (..., )     f32 1.0 where Xc.z > _MIN_Z
+
+    The 2x6 pose Jacobian is the closed form of Jproj @ [I | -hat(Xc)]
+    (optimization.cpp:52-73), expanded so no matrix product appears:
+
+      [ fx/Z   0    -fx X/Z²  -fx XY/Z²   fx+fx X²/Z²  -fx Y/Z ]
+      [ 0    fy/Z   -fy Y/Z²  -fy-fy Y²/Z²  fy XY/Z²    fy X/Z ]
     """
+    fx, fy = K[0, 0], K[1, 1]
     R = T_c_w[..., :3, :3]
-    t = T_c_w[..., :3, 3]
-    Xc = jnp.einsum("...ij,...j->...i", R, pts_w) + t
+    Xc = transform(T_c_w, pts_w)
     depth_ok = (Xc[..., 2] > _MIN_Z).astype(pts_w.dtype)
 
     r = project(Xc, K) - uv
-    Jproj = _proj_jacobian(Xc, K)                       # (..., 2, 3)
 
-    # d(Xc)/d(twist) for LEFT perturbation exp([v,w]) T:  [I, -hat(Xc)]
     X, Y = Xc[..., 0], Xc[..., 1]
-    Z = Xc[..., 2]
+    Z = jnp.maximum(Xc[..., 2], _MIN_Z)
+    iz = 1.0 / Z
+    iz2 = iz * iz
     zero = jnp.zeros_like(X)
-    one = jnp.ones_like(X)
-    # hat(Xc)
-    hx = jnp.stack(
-        [
-            jnp.stack([zero, -Z, Y], axis=-1),
-            jnp.stack([Z, zero, -X], axis=-1),
-            jnp.stack([-Y, X, zero], axis=-1),
-        ],
-        axis=-2,
-    )
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=pts_w.dtype), hx.shape)
-    dXc_dxi = jnp.concatenate([eye, -hx], axis=-1)      # (..., 3, 6)
 
-    J_pose = Jproj @ dXc_dxi                            # (..., 2, 6)
-    J_point = Jproj @ R                                 # (..., 2, 3)
+    a = fx * iz                  # dproj_u/dX
+    c = -fx * X * iz2            # dproj_u/dZ
+    b = fy * iz                  # dproj_v/dY
+    d = -fy * Y * iz2            # dproj_v/dZ
+
+    row0 = jnp.stack(
+        [a, zero, c, c * Y, fx + fx * X * X * iz2, -fx * Y * iz], axis=-1
+    )
+    row1 = jnp.stack(
+        [zero, b, d, -fy - fy * Y * Y * iz2, -d * X, fy * X * iz], axis=-1
+    )
+    J_pose = jnp.stack([row0, row1], axis=-2)           # (..., 2, 6)
+
+    # J_point = Jproj @ R, expanded: row_u = a*R[0,:] + c*R[2,:]
+    Jpt_u = a[..., None] * R[..., 0, :] + c[..., None] * R[..., 2, :]
+    Jpt_v = b[..., None] * R[..., 1, :] + d[..., None] * R[..., 2, :]
+    J_point = jnp.stack([Jpt_u, Jpt_v], axis=-2)        # (..., 2, 3)
     return r, J_pose, J_point, depth_ok
 
 

@@ -62,6 +62,8 @@ def make_ba_schedule(cfg: BAConfig):
         lambda_init=cfg.lm_lambda_init,
         lambda_up=cfg.lm_lambda_up,
         lambda_down=cfg.lm_lambda_down,
+        rel_tol=cfg.rel_tol,
+        matmul_precision=cfg.matmul_precision,
     )
 
     @jax.jit

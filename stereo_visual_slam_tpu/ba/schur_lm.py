@@ -39,8 +39,6 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from stereo_visual_slam_tpu.utils.precision import precise
-
 from stereo_visual_slam_tpu.ba import residuals as res
 from stereo_visual_slam_tpu.geom import se3
 
@@ -127,9 +125,10 @@ def _robust_cost(r, problem, huber_delta, depth_ok, axis_name):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "update_points", "axis_name"),
+    static_argnames=(
+        "iters", "update_points", "axis_name", "matmul_precision"
+    ),
 )
-@precise
 def lm_optimize(
     problem: BAProblem,
     K: jnp.ndarray,
@@ -143,9 +142,20 @@ def lm_optimize(
     lambda_init: float = 1e-4,
     lambda_up: float = 10.0,
     lambda_down: float = 0.5,
+    rel_tol: float = 1e-6,
     axis_name: Optional[str] = None,
+    matmul_precision: str = "default",
 ) -> BAResult:
-    """Run `iters` LM iterations; classify outliers adaptively afterwards.
+    """Run up to `iters` LM iterations (early exit when an accepted step
+    improves the cost by < rel_tol or damping saturates); classify outliers
+    adaptively afterwards.
+
+    `matmul_precision` controls only the STEP-DIRECTION math (the normal
+    equations / Schur / solve inside solve_normal_eqs); residuals, Jacobians
+    and pose updates are elementwise f32 (residuals.py uses no MXU
+    contractions) so they are exact regardless. "default" (single-pass bf16
+    MXU) makes the solve ~2x cheaper, and LM acceptance — evaluated on exact
+    residuals — guards against any bad step: inexact-Newton semantics.
 
     With `axis_name` set, must be called inside shard_map with the L axis
     sharded; all cross-landmark reductions become psums.
@@ -165,6 +175,10 @@ def lm_optimize(
         return r, Jp, Jl, depth_ok
 
     def solve_normal_eqs(r, Jp, Jl, depth_ok, lam):
+        with jax.default_matmul_precision(matmul_precision):
+            return _solve_normal_eqs(r, Jp, Jl, depth_ok, lam)
+
+    def _solve_normal_eqs(r, Jp, Jl, depth_ok, lam):
         w = _edge_weights(r, problem, huber_delta, depth_ok)  # (L, K)
         # Zero jacobian rows of fixed / invalid poses so their updates are 0.
         Jp = Jp * free[None, :, None, :1].swapaxes(-1, -2)  # (L,K,2,6)*(1,K,1,1)
@@ -219,8 +233,10 @@ def lm_optimize(
 
         Sm = S.reshape(nK * 6, nK * 6)
         Sm = Sm + jnp.eye(nK * 6, dtype=dtype) * 1e-8
-        L_chol = jnp.linalg.cholesky(Sm)
-        dxi = jax.scipy.linalg.cho_solve((L_chol, True), b_s.reshape(-1))
+        # LU solve: ~4x faster than cholesky+cho_solve on TPU for a 60x60
+        # system (triangular solves serialize badly); the damped SPD matrix
+        # is well-conditioned so partial pivoting is numerically fine
+        dxi = jnp.linalg.solve(Sm, b_s.reshape(-1))
         dxi = dxi.reshape(nK, 6) * free_k[:, None]
 
         if update_points:
@@ -231,36 +247,57 @@ def lm_optimize(
             dP = jnp.zeros_like(b_l)
         return dxi, dP
 
-    def lm_body(_, carry):
-        T, P, lam, cost = carry
-        r, Jp, Jl, depth_ok = linearize(T, P)
-        dxi, dP = solve_normal_eqs(r, Jp, Jl, depth_ok, lam)
+    def residual_cheap(T, P):
+        return res.residual_only(
+            T[None, :, :, :], P[:, None, :], problem.uv, K
+        )
+
+    def lm_cond(carry):
+        i, _, _, _, _, _, done = carry
+        return (i < iters) & ~done
+
+    def lm_body(carry):
+        # the linearization at the CURRENT accepted point rides in the carry:
+        # a rejected step retries the solve with a larger lambda on the cached
+        # (r, J) instead of re-linearizing, and acceptance testing needs only
+        # residuals — one full Jacobian pass per ACCEPTED iteration instead
+        # of two per iteration (this is where the BA milliseconds live)
+        i, T, P, lin, lam, cost, done = carry
+        dxi, dP = solve_normal_eqs(*lin, lam)
         T_new = se3.normalize_rotation(se3.exp(dxi) @ T)
         P_new = P + dP
-        r2, _, _, d2 = linearize(T_new, P_new)
+        r2, d2 = residual_cheap(T_new, P_new)
         cost_new = _robust_cost(r2, problem, huber_delta, d2, axis_name)
         accept = cost_new < cost
-        T = jnp.where(accept, T_new, T)
-        P = jnp.where(accept, P_new, P)
+        # converged: an ACCEPTED step improved the cost by < rel_tol, or
+        # rejections drove the damping to saturation (steps are then ~0)
+        done = (accept & (cost - cost_new <= rel_tol * cost)) | (lam >= 1e7)
+        T, P, lin, cost = jax.lax.cond(
+            accept,
+            lambda: (T_new, P_new, linearize(T_new, P_new), cost_new),
+            lambda: (T, P, lin, cost),
+        )
         lam = jnp.where(
             accept,
             jnp.maximum(lam * lambda_down, 1e-10),
             jnp.minimum(lam * lambda_up, 1e8),
         )
-        cost = jnp.where(accept, cost_new, cost)
-        return T, P, lam, cost
+        return i + 1, T, P, lin, lam, cost, done
 
     T0 = problem.T_c_w
     P0 = problem.points
-    r0, _, _, d0 = linearize(T0, P0)
-    cost0 = _robust_cost(r0, problem, huber_delta, d0, axis_name)
+    lin0 = linearize(T0, P0)
+    cost0 = _robust_cost(lin0[0], problem, huber_delta, lin0[3], axis_name)
     lam0 = jnp.asarray(lambda_init, dtype)
-    T, P, lam, cost = jax.lax.fori_loop(
-        0, iters, lm_body, (T0, P0, lam0, cost0)
+    _, T, P, _, lam, cost, _ = jax.lax.while_loop(
+        lm_cond,
+        lm_body,
+        (jnp.asarray(0, jnp.int32), T0, P0, lin0, lam0, cost0,
+         jnp.asarray(False)),
     )
 
     # ---- adaptive chi2 outlier classification (optimization.cpp:224-252) ----
-    r, _, _, depth_ok = linearize(T, P)
+    r, depth_ok = residual_cheap(T, P)
     chi2 = jnp.sum(r * r, axis=-1)                            # (L, K)
     m = (
         problem.obs_mask

@@ -210,6 +210,21 @@ class VisualOdometry:
         self.next_lm_id += self.config.frontend.n_features
         self.dstate = new_state
         self.last_frame_id = frame_id
+        # start host transfers NOW — by collect time (>= 1 frame later) the
+        # data has crossed the tunnel and device_get is free instead of a
+        # ~24 ms blocking round trip (measured; see tools/micro_bench2.py)
+        for leaf in jax.tree.leaves(info_d):
+            leaf.copy_to_host_async()
+        upgrades.copy_to_host_async()
+        for leaf in (
+            new_state.yx,
+            new_state.valid,
+            new_state.lm_id,
+            new_state.lm_pos,
+            new_state.lm_reliable,
+            new_state.T_c_w,
+        ):
+            leaf.copy_to_host_async()
         self.inflight.append((frame_id, new_state, info_d, upgrades))
 
     # ------------------------------------------------------------------
@@ -310,6 +325,8 @@ class VisualOdometry:
             **{k: jnp.asarray(v) for k, v in arrays.items()}
         )
         handle = self.run_schedule(inp, self.K)
+        for leaf in jax.tree.leaves(handle):
+            leaf.copy_to_host_async()
         if self.lookahead > 0:
             self.pending_ba = (kf_ids, rows, handle)
             return dict(ba_dispatched=True)

@@ -128,6 +128,13 @@ class BAConfig:
     classify_passes: int = 2
     full_iters: int = 10
     pose_only_iters: int = 10
+    # Early exit: stop once an accepted LM step improves cost by < rel_tol
+    # (iteration counts above become MAXIMA; warm-started windows converge
+    # in 1-3 iterations). Step-direction matmuls run at `matmul_precision`
+    # ("default" = fast bf16 MXU passes) while residuals/costs stay exact
+    # f32 — see ba/schur_lm.py docstring.
+    rel_tol: float = 1e-6
+    matmul_precision: str = "default"
     # Capacities (static shapes)
     max_landmarks: int = 4096          # padded landmark table (10 kf x 500 feats)
     fix_oldest_pose: bool = True       # gauge anchor (reference relies on LM damping
