@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from stereo_visual_slam_tpu.ba import residuals as res
 from stereo_visual_slam_tpu.ba.schur_lm import BAProblem, _maybe_psum
 from stereo_visual_slam_tpu.geom import se3
+from stereo_visual_slam_tpu.geom.linalg import solve6
 
 
 class PoseOnlyResult(NamedTuple):
@@ -101,7 +102,7 @@ def optimize_pose_only(
             H = H + lam * eye6 * jnp.maximum(
                 jnp.einsum("kii->k", H)[:, None, None] / 6.0, 1.0
             ) + eye6 * 1e-8
-            dxi = jnp.linalg.solve(H, b[..., None])[..., 0]   # (K,6)
+            dxi = solve6(H, b)                                # (K,6)
             return dxi * free[:, None]
 
     def cond_fn(carry):

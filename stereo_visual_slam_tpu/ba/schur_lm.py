@@ -68,34 +68,9 @@ def _maybe_psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
-def inv3x3(A: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Closed-form batched 3x3 inverse (adjugate / det) — pure elementwise
-    VPU math; XLA's batched linalg.inv lowers to a slow LU loop on TPU."""
-    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
-    c11 = e * i - f * h
-    c12 = c * h - b * i
-    c13 = b * f - c * e
-    c21 = f * g - d * i
-    c22 = a * i - c * g
-    c23 = c * d - a * f
-    c31 = d * h - e * g
-    c32 = b * g - a * h
-    c33 = a * e - b * d
-    det = a * c11 + b * c21 + c * c31
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, jnp.sign(det) * eps + eps)
-    return (
-        jnp.stack(
-            [
-                jnp.stack([c11, c12, c13], axis=-1),
-                jnp.stack([c21, c22, c23], axis=-1),
-                jnp.stack([c31, c32, c33], axis=-1),
-            ],
-            axis=-2,
-        )
-        * inv_det[..., None, None]
-    )
+# Closed-form batched small inverses live in geom/linalg.py; re-exported
+# here because the Schur math below is their canonical consumer.
+from stereo_visual_slam_tpu.geom.linalg import inv3x3, solve_block_spd  # noqa: E402
 
 
 def _edge_weights(r, problem, huber_delta, depth_ok):
@@ -231,13 +206,10 @@ def lm_optimize(
         )
         b_s = b_s * free_k[:, None]
 
-        Sm = S.reshape(nK * 6, nK * 6)
-        Sm = Sm + jnp.eye(nK * 6, dtype=dtype) * 1e-8
-        # LU solve: ~4x faster than cholesky+cho_solve on TPU for a 60x60
-        # system (triangular solves serialize badly); the damped SPD matrix
-        # is well-conditioned so partial pivoting is numerically fine
-        dxi = jnp.linalg.solve(Sm, b_s.reshape(-1))
-        dxi = dxi.reshape(nK, 6) * free_k[:, None]
+        S = S.at[jnp.arange(nK), :, jnp.arange(nK), :].add(eye6 * 1e-8)
+        # unrolled block elimination (geom/linalg.py): XLA's LU for the
+        # 60x60 reduced system is a sequential loop costing ~1 ms on TPU
+        dxi = solve_block_spd(S, b_s) * free_k[:, None]
 
         if update_points:
             rhs = b_l - jnp.einsum("lkij,ki->lj", Wb, dxi)
