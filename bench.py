@@ -3,11 +3,12 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: frames per second of the full pipeline (tracking + the complete
-per-keyframe BA schedule). vs_baseline compares our wall time against the
-reference's published per-frame costs FOR THE SAME keyframe mix — 0.04 s
-per tracking-only frame and 0.18 s per keyframe (README.md:90) — so a
-pipeline that needs fewer keyframes isn't penalized by a keyframes/s
-denominator. vs_baseline > 1 means faster than the reference end-to-end.
+per-keyframe BA schedule), using the device-resident chunked SLAM core
+(models/slam_core.py) — the flagship execution path. vs_baseline compares
+our wall time against the reference's published per-frame costs FOR THE
+SAME keyframe mix — 0.04 s per tracking-only frame and 0.18 s per keyframe
+(README.md:90) — so a pipeline that needs fewer keyframes isn't penalized.
+vs_baseline > 1 means faster than the reference end-to-end.
 
 Runs on whatever platform jax selects (the driver provides the TPU); the
 workload is a synthetic KITTI-geometry sequence (1241 x 376 stereo,
@@ -26,8 +27,10 @@ REF_KEYFRAME_S = 0.18
 
 
 def main():
-    n_frames = 60
-    warmup = 12
+    chunk = 8
+    warmup_chunks = 2
+    n_chunks = 8
+    n_frames = chunk * (warmup_chunks + n_chunks)
 
     from stereo_visual_slam_tpu.utils.cache import enable_compilation_cache
 
@@ -35,7 +38,7 @@ def main():
 
     from stereo_visual_slam_tpu.data import synthetic
     from stereo_visual_slam_tpu.pipeline import trajectory as traj_mod
-    from stereo_visual_slam_tpu.pipeline.vo import VisualOdometry
+    from stereo_visual_slam_tpu.pipeline.chunked import ChunkedSlam
     from stereo_visual_slam_tpu.utils.config import Config
 
     cfg = Config()
@@ -44,38 +47,38 @@ def main():
         (f, l, r) for f, l, r in synthetic.frames(world)
     ]  # pre-render: exclude dataset IO from timing
 
-    vo = VisualOdometry(cfg, enable_ba=True, lookahead=1)
+    slam = ChunkedSlam(cfg, chunk=chunk)
     t0 = time.perf_counter()
-    vo.warmup()
+    slam.warmup()
     print(f"# warmup (compilation): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    warmup_frames = chunk * warmup_chunks
     t_timed = 0.0
-    n_frames_timed = 0
-    lost = False
-    for f, left, right in frames:
-        t0 = time.perf_counter()
-        rec = vo.process(f, left, right)
-        dt = time.perf_counter() - t0
-        if rec["state"] == "lost":
-            lost = True
-            break
-        if f >= warmup:
-            t_timed += dt
-            n_frames_timed += 1
     t0 = time.perf_counter()
-    vo.finish()
-    t_timed += time.perf_counter() - t0
-    n_tracked = sum(
-        1 for r in vo.stats if r["state"] in ("tracked", "init")
+    for f, left, right in frames:
+        if f == warmup_frames:
+            # timing starts at a chunk boundary; earlier chunks warmed the
+            # pipeline (first BA compile etc.)
+            t0 = time.perf_counter()
+        slam.process(f, left, right)
+        if slam.lost:
+            break
+    slam.finish()
+    t_timed = time.perf_counter() - t0
+
+    n_frames_timed = sum(
+        1 for s in slam.stats if s["frame_id"] >= warmup_frames
     )
     n_keyframes_timed = sum(
         1
-        for r in vo.stats
-        if r.get("keyframe") and r.get("frame_id", 0) >= warmup
+        for s in slam.stats
+        if s["keyframe"] and s["frame_id"] >= warmup_frames
     )
+    n_tracked = sum(1 for s in slam.stats if s["state"] == "tracked")
 
     # accuracy side-channel (printed to stderr, not the JSON line)
-    fids = sorted(vo.estimates.keys())
-    est = np.stack([vo.estimates[f] for f in fids])
+    fids = sorted(slam.estimates.keys())
+    est = np.stack([slam.estimates[f] for f in fids])
     gt = world.poses_T_c_w[fids]
     t_err, r_err = traj_mod.kitti_errors(est, gt)
     ate = traj_mod.ate_rmse(est, gt)

@@ -114,7 +114,7 @@ def optimize_pose_only(
         # only on accepted steps, rejections retry on the cached (r, J)
         i, T, lin, lam, cost = carry[:5]
         dxi = solve(lin, lam)
-        T_new = se3.normalize_rotation(se3.exp(dxi) @ T)
+        T_new = se3.normalize_rotation(se3.compose(se3.exp(dxi), T))
         r2, d2 = residual_cheap(T_new)
         cost_new = robust_cost(r2, d2)
         accept = cost_new < cost

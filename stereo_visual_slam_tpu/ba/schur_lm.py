@@ -236,7 +236,7 @@ def lm_optimize(
         # of two per iteration (this is where the BA milliseconds live)
         i, T, P, lin, lam, cost, done = carry
         dxi, dP = solve_normal_eqs(*lin, lam)
-        T_new = se3.normalize_rotation(se3.exp(dxi) @ T)
+        T_new = se3.normalize_rotation(se3.compose(se3.exp(dxi), T))
         P_new = P + dP
         r2, d2 = residual_cheap(T_new, P_new)
         cost_new = _robust_cost(r2, problem, huber_delta, d2, axis_name)

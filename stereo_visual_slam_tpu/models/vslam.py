@@ -154,7 +154,7 @@ def make_tracker(config: Config):
         lm_pos = jnp.where(tracked[:, None], prev.lm_pos[src], 0.0)
         lm_rel = tracked & prev.lm_reliable[src]
 
-        T_c_l = res.T_c_w @ se3.inverse(prev.T_c_w)
+        T_c_l = se3.compose(res.T_c_w, se3.inverse(prev.T_c_w))
         new_state = TrackState(
             yx=curr.yx,
             valid=tracked,
@@ -244,7 +244,7 @@ def make_full_step(config: Config, extract):
         # constant-velocity prior, computed ON DEVICE from the state's own
         # last relative motion — the host never needs to sync a pose to
         # dispatch the next frame, which enables lookahead pipelining
-        T_init = prev.T_c_l @ prev.T_c_w
+        T_init = se3.compose(prev.T_c_l, prev.T_c_w)
         left = images[0].astype(jnp.float32)
         right = images[1].astype(jnp.float32)
         feats = extract(left, right)

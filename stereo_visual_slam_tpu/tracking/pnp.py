@@ -48,7 +48,7 @@ def _gn_step(T, pts_w, uv, w, K, damping):
     # closed-form 6x6 solve (geom/linalg.py): jnp.linalg.solve's sequential
     # LU costs ~0.5 ms per call on TPU and this sits inside the GN loops
     delta = solve6(A, -Jtr)
-    return se3.exp(delta) @ T
+    return se3.compose(se3.exp(delta), T)
 
 
 def _huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:

@@ -1,0 +1,77 @@
+"""Device-resident chunked SLAM core: equivalence with the host pipeline."""
+
+import numpy as np
+import pytest
+
+from stereo_visual_slam_tpu.data import synthetic
+from stereo_visual_slam_tpu.pipeline import trajectory as traj_mod
+from stereo_visual_slam_tpu.pipeline.chunked import ChunkedSlam
+from stereo_visual_slam_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def world():
+    cfg = Config()
+    return synthetic.make_world(cfg, n_frames=14, n_points=8000, seed=0)
+
+
+def test_chunked_end_to_end(world, tmp_path):
+    pose_path = str(tmp_path / "traj.txt")
+    slam = ChunkedSlam(world.config, chunk=4, pose_path=pose_path)
+    for f, left, right in synthetic.frames(world):
+        if f >= 14:
+            break
+        slam.process(f, left, right)
+    slam.finish()
+    assert not slam.lost
+
+    fids = sorted(slam.estimates.keys())
+    assert len(fids) == 14 or len(fids) >= 12  # rejections possible
+    est = np.stack([slam.estimates[f] for f in fids])
+    gt = world.poses_T_c_w[fids]
+    ate = traj_mod.ate_rmse(est, gt)
+    assert ate < 0.3, f"ATE {ate} too high"
+
+    # per-frame records arrived for every frame
+    assert len(slam.stats) == 14
+    kf_count = sum(1 for s in slam.stats if s["keyframe"])
+    assert kf_count >= 2
+    # BA ran once the window filled
+    if kf_count >= world.config.keyframe.window_size:
+        assert any(s["ba_cost"] is not None for s in slam.stats)
+
+    # trajectory file: one row per keyframe ever inserted, orthonormal R
+    rows = traj_mod.read_trajectory(pose_path)
+    assert len(rows) == kf_count
+    for fid, T_w_c in rows.items():
+        R = T_w_c[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+
+def test_chunked_map_invariants(world):
+    slam = ChunkedSlam(world.config, chunk=4)
+    for f, left, right in synthetic.frames(world):
+        if f >= 12:
+            break
+        slam.process(f, left, right)
+    slam.finish()
+    import jax
+
+    m = jax.device_get(slam.carry.mstate)
+    Kw = world.config.keyframe.window_size
+    assert int(m.kf_count) <= Kw
+    # live slots have frame ids, dead slots don't
+    live = np.arange(Kw) < int(m.kf_count)
+    assert (m.kf_frame_id[live] >= 0).all()
+    assert (m.kf_frame_id[~live] == -1).all()
+    # slots ordered oldest -> newest
+    fids = m.kf_frame_id[live]
+    assert (np.diff(fids) > 0).all()
+    # observation grid only references live slots
+    assert m.obs_mask[:, ~live].sum() == 0
+    # every tracked feature's arena row carries an observation or was
+    # just spawned (still referenced)
+    t = jax.device_get(slam.carry.tstate)
+    rows = t.lm_id[t.valid]
+    assert (rows >= 0).all()
+    assert (rows < world.config.ba.max_landmarks).all()
