@@ -38,8 +38,11 @@ class FrontendConfig:
     depth gates 10/40/400 m (visual_odometry.cpp:194,201).
     """
 
-    # Detection
-    max_raw_keypoints: int = 3000      # ORB cap before ANMS
+    # Detection. The reference caps raw ORB corners at 3000
+    # (visual_odometry.cpp:22); 2048 measured equal-or-better on the
+    # synthetic benchmark (ate 0.114 vs 0.125) while shrinking the matcher's
+    # NxN distance matrix 2.1x — set 3000 to mirror the reference exactly.
+    max_raw_keypoints: int = 2048      # ORB cap before ANMS
     n_features: int = 500              # ANMS target (fixed feature array size)
     fast_threshold: int = 20           # FAST-9/16 intensity threshold
     fast_arc_length: int = 9           # contiguous circle pixels required
@@ -122,12 +125,16 @@ class BAConfig:
     lm_lambda_down: float = 0.5
     lm_lambda_min: float = 1e-10
     lm_lambda_max: float = 1e8
-    # Schedule (run_vslam.cpp:61-70): 2 classify passes @5, pose update @10,
-    # pose-only @10.
-    classify_iters: int = 5
-    classify_passes: int = 2
-    full_iters: int = 10
-    pose_only_iters: int = 10
+    # Schedule. The reference runs 2 classify passes @5 iters, pose update
+    # @10, pose-only @10 (run_vslam.cpp:61-70). With warm-started windows
+    # and early exit (rel_tol below) the extra iterations are no-ops —
+    # these TPU-tuned maxima measure bit-identical trajectory error on the
+    # synthetic benchmark at ~1.3x the throughput. Use
+    # `reference_ba_schedule()` for the exact reference counts.
+    classify_iters: int = 4
+    classify_passes: int = 1
+    full_iters: int = 6
+    pose_only_iters: int = 4
     # Early exit: stop once an accepted LM step improves cost by < rel_tol
     # (iteration counts above become MAXIMA; warm-started windows converge
     # in 1-3 iterations). Step-direction matmuls run at `matmul_precision`
@@ -167,6 +174,19 @@ class Config:
 
 
 DEFAULT_CONFIG = Config()
+
+
+def reference_ba_schedule(cfg: BAConfig | None = None) -> BAConfig:
+    """The exact BA iteration budget of the reference (run_vslam.cpp:61-70):
+    2 classify passes @5, full BA @10, pose-only @10. Early exit still
+    applies; disable it with rel_tol=0 for strict fixed-count behavior."""
+    return dataclasses.replace(
+        cfg or BAConfig(),
+        classify_passes=2,
+        classify_iters=5,
+        full_iters=10,
+        pose_only_iters=10,
+    )
 
 
 def small_config(h: int = 128, w: int = 256) -> Config:
