@@ -29,6 +29,10 @@ from stereo_visual_slam_tpu.utils.config import CameraConfig, Config
 
 
 def _imread_gray(path: str) -> np.ndarray:
+    from stereo_visual_slam_tpu.utils import native
+
+    if native.available():
+        return native.read_image_gray(path)
     from PIL import Image
 
     with Image.open(path) as im:
@@ -49,9 +53,28 @@ class KittiSequence:
         return left, right
 
     def frames(self) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
+        """Stream (i, left, right). Uses the native multithreaded prefetcher
+        (utils/native.py) when available so image decode overlaps the
+        consumer's device compute; falls back to synchronous reads."""
+        from stereo_visual_slam_tpu.utils import native
+
+        if native.available() and self.n_frames > 0:
+            h, w = self.frame_hw()
+            with native.StereoPrefetcher(
+                os.path.join(self.seq_dir, "image_0"),
+                os.path.join(self.seq_dir, "image_1"),
+                count=self.n_frames,
+                hw=(h, w),
+            ) as pf:
+                yield from pf
+            return
         for i in range(self.n_frames):
             left, right = self.frame(i)
             yield i, left, right
+
+    def frame_hw(self) -> Tuple[int, int]:
+        left, _ = self.frame(0)
+        return left.shape
 
 
 def parse_calib(calib_path: str) -> CameraConfig:
