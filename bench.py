@@ -27,7 +27,7 @@ REF_KEYFRAME_S = 0.18
 
 
 def main():
-    chunk = 8
+    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     warmup_chunks = 2
     n_chunks = 8
     n_frames = chunk * (warmup_chunks + n_chunks)
