@@ -19,7 +19,7 @@ fetch returns optimized poses + final verdicts.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from stereo_visual_slam_tpu.ba import pose_only as pose_only_mod
 from stereo_visual_slam_tpu.ba import schur_lm
 from stereo_visual_slam_tpu.utils.config import BAConfig
+
+LM_AXIS = "lm"
 
 
 class ScheduleInput(NamedTuple):
@@ -51,8 +53,35 @@ class ScheduleResult(NamedTuple):
     threshold: jnp.ndarray    # () final adaptive chi2 threshold
 
 
-def make_ba_schedule(cfg: BAConfig):
-    """Build the jitted schedule closed over the static BA config."""
+def make_ba_schedule(cfg: BAConfig, mesh=None, axis_name: Optional[str] = None):
+    """Build the jitted schedule closed over the static BA config.
+
+    Distribution (the live-pipeline integration of parallel/dist_ba.py's
+    north-star layout): with `mesh`, the WHOLE schedule runs landmark-sharded
+    under shard_map — each device owns L/n arena rows, reduces its landmarks'
+    Schur contributions locally, and one psum of the reduced (6K x 6K + 6K)
+    camera system per LM iteration rides the ICI. Poses are replicated.
+    With `axis_name` (already inside a shard_map), the psums are inserted
+    but no wrapping happens.
+    """
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        inner = make_ba_schedule(cfg, axis_name=LM_AXIS)
+        in_specs = ScheduleInput(
+            T_c_w=P(), points=P(LM_AXIS), uv=P(LM_AXIS),
+            obs_mask=P(LM_AXIS), inlier=P(LM_AXIS), reliable=P(LM_AXIS),
+            present=P(LM_AXIS), pose_mask=P(), fixed_pose=P(),
+        )
+        out_specs = ScheduleResult(
+            T_c_w=P(), inlier=P(LM_AXIS), cost_full=P(), cost_pose=P(),
+            threshold=P(),
+        )
+        return shard_map(
+            inner, mesh=mesh, in_specs=(in_specs, P()),
+            out_specs=out_specs, check_vma=False,
+        )
 
     common = dict(
         huber_delta=cfg.huber_delta,
@@ -64,6 +93,7 @@ def make_ba_schedule(cfg: BAConfig):
         lambda_down=cfg.lm_lambda_down,
         rel_tol=cfg.rel_tol,
         matmul_precision=cfg.matmul_precision,
+        axis_name=axis_name,
     )
 
     @jax.jit

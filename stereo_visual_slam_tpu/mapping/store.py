@@ -16,9 +16,10 @@ slot-indexed arrays referencing arena rows.
 `assemble_schedule_input` produces the dense (L, K) window consumed by the
 single-dispatch BA schedule (ba/schedule.py) in one pass of fancy indexing.
 
-The same layout is implemented natively in native/mapstore.cpp for the
-production runtime; this module is the reference implementation and test
-oracle for it.
+The same layout is implemented natively in native/src/mapstore.cpp
+(bound as utils.native.NativeMapStore) for the production host runtime;
+this module is the reference implementation and test oracle for it
+(tests/test_native.py asserts bit-for-bit equivalence).
 """
 
 from __future__ import annotations

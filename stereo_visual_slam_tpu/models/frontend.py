@@ -31,10 +31,17 @@ class FrameFeatures(NamedTuple):
     the extra compute is noise for the MXU). `spawn_mask` marks the
     ANMS-selected uniform subset (config n_features strong) used to spawn
     NEW features at keyframes, preserving the reference's ANMS-500 behavior
-    (visual_odometry.cpp:82)."""
+    (visual_odometry.cpp:82).
 
-    yx: jnp.ndarray          # (N, 2) int32 keypoint coords (row, col)
-    score: jnp.ndarray       # (N,) FAST response
+    Multi-scale: keypoints come from an n_levels / scale_factor image
+    pyramid (cv::ORB defaults 8 / 1.2, visual_odometry.cpp:22). `yx` is in
+    FULL-RES pixels (float32 — level coords x scale, sub-pixel on coarse
+    levels); `scale` is the per-keypoint level scale (1.2^level). The
+    descriptor is computed on the keypoint's own pyramid level."""
+
+    yx: jnp.ndarray          # (N, 2) float32 FULL-RES keypoint coords (row, col)
+    score: jnp.ndarray       # (N,) FAST response (at the detection level)
+    scale: jnp.ndarray       # (N,) f32 — scale_factor**level
     valid: jnp.ndarray       # (N,) bool — detected keypoint
     spawn_mask: jnp.ndarray  # (N,) bool — ANMS-selected subset
     signs: jnp.ndarray       # (N, 256) {-1,+1} descriptor for MXU matching
@@ -46,35 +53,120 @@ class FrameFeatures(NamedTuple):
     pts_cam: jnp.ndarray     # (N, 3) camera-frame 3D (valid where depth_valid)
 
 
+def _use_pallas_fast(config: Config) -> bool:
+    """Dispatch FAST+NMS to the fused Pallas kernel on TPU: one HBM image
+    read + one score write per frame vs the XLA path's 16 shifted image
+    copies (ops/fast.py is the ground truth and the CPU path)."""
+    import jax
+
+    if not config.frontend.pallas_fast:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    H, W = config.padded_hw
+    return H % 64 == 0 and W % 256 == 0
+
+
+def _level_geometry(config: Config):
+    """Static per-level geometry: (scale, valid (h, w), padded (H, W),
+    keypoint budget). Budgets follow cv::ORB's geometric distribution
+    (factor 1/scale per level, visual_odometry.cpp:22 defaults)."""
+    fe = config.frontend
+    vh, vw = config.image_hw
+    sf = fe.scale_factor
+    n = fe.n_levels
+    inv = [sf ** -i for i in range(n)]
+    total = sum(inv)
+    budgets = [int(fe.max_raw_keypoints * w / total) for w in inv]
+    budgets[0] += fe.max_raw_keypoints - sum(budgets)
+
+    def pad_up(x, q):
+        return -(-x // q) * q
+
+    out = []
+    for i in range(n):
+        s = sf ** i
+        h_i, w_i = (vh, vw) if i == 0 else (round(vh / s), round(vw / s))
+        # pallas tile alignment (64, 256); harmless for the XLA path
+        out.append((s, (h_i, w_i), (pad_up(h_i, 64), pad_up(w_i, 256)),
+                    budgets[i]))
+    return out
+
+
 def make_extractor(config: Config):
-    """Build the jitted extractor closed over static config."""
+    """Build the jitted extractor closed over static config.
+
+    Pyramid flow per level: bilinear-downscale the valid region, FAST+NMS+
+    top-k_i (Pallas on TPU), blur, BRIEF at level resolution. Levels merge
+    into one N-row table with full-res float coords and per-row scale;
+    stereo depth runs once at full resolution on the merged table (disparity
+    accuracy is resolution-bound, not scale-bound)."""
     fe = config.frontend
     cam = config.camera
-    H, W = config.padded_hw
     vh, vw = config.image_hw
+    levels = _level_geometry(config)
+
+    if _use_pallas_fast(config):
+        from stereo_visual_slam_tpu.ops.pallas import fast_kernel
+
+        detect = fast_kernel.detect
+    else:
+        detect = fast_ops.detect
 
     @jax.jit
     def extract(left: jnp.ndarray, right: jnp.ndarray) -> FrameFeatures:
         """left/right: (H, W) padded f32 grayscale."""
-        yx, score = fast_ops.detect(
-            left,
-            max_kp=fe.max_raw_keypoints,
-            threshold=fe.fast_threshold,
-            border=fe.border_margin,
-            valid_hw=(vh, vw),
-        )
+        yx_parts, yxf_parts, score_parts, scale_parts = [], [], [], []
+        packed_parts, signs_parts = [], []
+        for i, (s, (h_i, w_i), (H_i, W_i), budget) in enumerate(levels):
+            if i == 0:
+                img = left
+            else:
+                img = jax.image.resize(
+                    left[:vh, :vw], (h_i, w_i), method="linear"
+                )
+                img = im_ops.pad_to(img, (H_i, W_i))
+            yx_i, score_i = detect(
+                img,
+                max_kp=budget,
+                threshold=fe.fast_threshold,
+                border=fe.border_margin,
+                valid_hw=(h_i, w_i),
+            )
+            blurred = im_ops.box_blur(img, fe.blur_box)
+            packed_i, signs_i, _theta = orb_ops.describe(
+                blurred,
+                yx_i,
+                bits=fe.descriptor_bits,
+                patch=fe.patch_size,
+                steer=fe.steer_descriptor,
+            )
+            yx_full = yx_i.astype(jnp.float32) * s
+            yx_parts.append(jnp.round(yx_full).astype(jnp.int32))
+            yxf_parts.append(yx_full)
+            score_parts.append(score_i)
+            scale_parts.append(jnp.full((budget,), s, jnp.float32))
+            packed_parts.append(packed_i)
+            signs_parts.append(signs_i)
+
+        yx_int = jnp.concatenate(yx_parts)        # (N, 2) full-res int
+        yx_f = jnp.concatenate(yxf_parts)         # (N, 2) full-res float
+        score = jnp.concatenate(score_parts)
+        scale = jnp.concatenate(scale_parts)
+        packed = jnp.concatenate(packed_parts)
+        signs = jnp.concatenate(signs_parts)
+
         valid = score > 0.0
+        # keep full-res coords in the valid image (rounding can push a
+        # border keypoint of a coarse level slightly out)
+        valid = valid & (yx_int[:, 0] < vh) & (yx_int[:, 1] < vw)
         spawn_mask = anms_ops.anms_mask(
-            yx, score, num=fe.n_features, robust_coeff=fe.anms_robust_coeff
-        )
-        blurred = im_ops.box_blur(left, fe.blur_box)
-        packed, signs, _theta = orb_ops.describe(
-            blurred, yx, bits=fe.descriptor_bits, patch=fe.patch_size
+            yx_int, score, num=fe.n_features, robust_coeff=fe.anms_robust_coeff
         )
         st = stereo_ops.match_disparity(
             left,
             right,
-            yx,
+            yx_int,
             valid,
             fx=cam.fx,
             baseline=cam.baseline,
@@ -86,11 +178,12 @@ def make_extractor(config: Config):
             reliable_depth=fe.reliable_depth,
         )
         pts_cam = stereo_ops.backproject(
-            yx, st.depth, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy
+            yx_f, st.depth, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy
         )
         return FrameFeatures(
-            yx=yx,
+            yx=yx_f,
             score=score,
+            scale=scale,
             valid=valid,
             spawn_mask=spawn_mask,
             signs=signs,

@@ -27,6 +27,7 @@ frame gap / Lost fuse bookkeeping lives in the carry.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -56,6 +57,8 @@ class MapState(NamedTuple):
 class FrameRecord(NamedTuple):
     """Everything the host learns about one frame — fetched once per chunk."""
 
+    active: jnp.ndarray       # () bool — slot held a real frame (padding
+    #                              slots in a short final chunk are inactive)
     frame_id: jnp.ndarray     # () int32
     tracked: jnp.ndarray      # () bool — motion check passed
     lost: jnp.ndarray         # () bool — system is in Lost state
@@ -126,13 +129,19 @@ def _allocate_rows(
     return rows.astype(jnp.int32), jnp.sum(served.astype(jnp.int32))
 
 
-def make_slam_step(config: Config, extract=None):
+def make_slam_step(config: Config, extract=None, mesh=None):
     """Build the fused per-frame device function:
 
         (carry, image(2,H,W)u8, frame_id, key) -> (carry', FrameRecord)
 
     Mirrors one iteration of the reference main loop (run_vslam.cpp:40-82):
     VO::pipeline + conditional optimize_map x3 + optimize_pose_only.
+
+    With `mesh`, the per-keyframe BA schedule runs landmark-sharded across
+    the mesh devices (ba/schedule.py shard_map path): the landmark arena is
+    partitioned, each device reduces its Schur contributions, one psum per
+    LM iteration. The frontend/tracking stay replicated (they are one
+    frame's work); BA is where the window-scaling FLOPs live.
     """
     cam = config.camera
     pc = config.pnp
@@ -147,7 +156,7 @@ def make_slam_step(config: Config, extract=None):
     if extract is None:
         extract = frontend_mod.make_extractor(config)
     track_step, _ = vslam.make_tracker(config)
-    run_schedule = ba_schedule.make_ba_schedule(config.ba)
+    run_schedule = ba_schedule.make_ba_schedule(config.ba, mesh=mesh)
 
     # ---------------------------------------------------------------- insert
     def insert_keyframe(tstate, mstate, feats, frame_id):
@@ -290,7 +299,13 @@ def make_slam_step(config: Config, extract=None):
         feats = extract(left, right)
         feats = jax.lax.optimization_barrier(feats)
 
-        T_init = se3.compose(tstate.T_c_l, tstate.T_c_w)
+        # constant-velocity prior SCALED BY THE FRAME GAP: after g rejected/
+        # dropped frames the expected motion is (T_c_l)^g. The reference is
+        # immune to this (solvePnPRansac is prior-free, vo.cpp:277); our
+        # GN-from-prior hypotheses need the prior in the right basin.
+        T_init = se3.compose(
+            se3.exp(frame_gap * se3.log(tstate.T_c_l)), tstate.T_c_w
+        )
         tracked_state, tinfo = track_step(
             feats, tstate, T_init, frame_gap, key
         )
@@ -374,6 +389,7 @@ def make_slam_step(config: Config, extract=None):
         lost = carry.lost | (num_lost > kc.max_lost)
 
         record = FrameRecord(
+            active=jnp.asarray(True),
             frame_id=frame_id,
             tracked=accept,
             lost=lost,
@@ -404,23 +420,52 @@ def make_slam_step(config: Config, extract=None):
     return slam_frame_step
 
 
-def make_chunk_step(config: Config, extract=None):
+def make_chunk_step(config: Config, extract=None, mesh=None):
     """lax.scan of the frame step over a chunk: ONE dispatch, ONE fetch for
     B frames. Host round-trip latency (~24 ms over the TPU tunnel) amortizes
     to RT/B per frame.
 
-        chunk_step(carry, images (B,2,H,W)u8, frame_ids (B,), key)
-            -> (carry', FrameRecord batch (B, ...))
+        chunk_step(carry, images (B,2,H,W)u8, frame_ids (B,), active (B,)
+                   bool, key) -> (carry', FrameRecord batch (B, ...))
+
+    `active=False` slots are padding (a short final chunk padded to the
+    static B): the carry passes through untouched and the record is flagged
+    inactive — no recompilation for partial chunks. The per-frame RNG is
+    `fold_in(key, frame_id)` with a run-constant key, so results are
+    independent of how the sequence is cut into chunks (snapshot/resume at
+    any frame boundary is bit-exact).
     """
-    frame_step = make_slam_step(config, extract)
+    if extract is None:
+        return _cached_chunk_step(config, mesh)
+    return _build_chunk_step(config, extract, mesh)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_chunk_step(config: Config, mesh):
+    """One compiled chunk program per (config, mesh) per process — multiple
+    driver instances (tests, snapshot-resume runs) share the jit cache."""
+    return _build_chunk_step(config, None, mesh)
+
+
+def _build_chunk_step(config: Config, extract, mesh):
+    frame_step = make_slam_step(config, extract, mesh=mesh)
 
     @jax.jit
-    def chunk_step(carry: SlamCarry, images, frame_ids, key):
+    def chunk_step(carry: SlamCarry, images, frame_ids, active, key):
         def body(c, xs):
-            image, fid = xs
+            image, fid, live = xs
             k = jax.random.fold_in(key, fid)
-            return frame_step(c, image, fid, k)
+            c2, rec = frame_step(c, image, fid, k)
+            c2 = jax.tree.map(
+                lambda a, b: jnp.where(
+                    live.reshape((1,) * a.ndim) if a.ndim else live, a, b
+                ),
+                c2,
+                c,
+            )
+            rec = rec._replace(active=live)
+            return c2, rec
 
-        return jax.lax.scan(body, carry, (images, frame_ids))
+        return jax.lax.scan(body, carry, (images, frame_ids, active))
 
     return chunk_step

@@ -30,7 +30,7 @@ from stereo_visual_slam_tpu.utils.config import Config
 
 
 class TrackState(NamedTuple):
-    yx: jnp.ndarray          # (N, 2) int32
+    yx: jnp.ndarray          # (N, 2) float32 full-res pixel coords
     valid: jnp.ndarray       # (N,) bool — live feature
     signs: jnp.ndarray       # (N, 256) descriptor
     lm_id: jnp.ndarray       # (N,) int32 landmark id, -1 if none
@@ -66,7 +66,7 @@ def empty_state(config: Config) -> TrackState:
     n = config.frontend.max_raw_keypoints
     bits = config.frontend.descriptor_bits
     return TrackState(
-        yx=jnp.zeros((n, 2), jnp.int32),
+        yx=jnp.zeros((n, 2), jnp.float32),
         valid=jnp.zeros((n,), bool),
         signs=jnp.zeros((n, bits), jnp.float32),
         lm_id=-jnp.ones((n,), jnp.int32),
@@ -143,6 +143,7 @@ def make_tracker(config: Config):
             gn_iters_hypothesis=pc.gn_iters_hypothesis,
             gn_iters_refine=pc.gn_iters_refine,
             huber_px=pc.huber_px,
+            prior_spread=pc.prior_spread * frame_gap,
         )
 
         # gather match results into current-frame detection slots via the
@@ -243,8 +244,12 @@ def make_full_step(config: Config, extract):
     ):
         # constant-velocity prior, computed ON DEVICE from the state's own
         # last relative motion — the host never needs to sync a pose to
-        # dispatch the next frame, which enables lookahead pipelining
-        T_init = se3.compose(prev.T_c_l, prev.T_c_w)
+        # dispatch the next frame, which enables lookahead pipelining.
+        # Scaled by the frame gap: after g rejections the expected motion
+        # is (T_c_l)^g (see slam_core.slam_frame_step).
+        T_init = se3.compose(
+            se3.exp(frame_gap * se3.log(prev.T_c_l)), prev.T_c_w
+        )
         left = images[0].astype(jnp.float32)
         right = images[1].astype(jnp.float32)
         feats = extract(left, right)

@@ -105,9 +105,9 @@ def fast_nms_score_map(
     return pl.pallas_call(
         kernel,
         grid=(H // th, W // tw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (th, tw), lambda i, j: (i, j), memory_space=pltpu.MemorySpace.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         scratch_shapes=[

@@ -1,4 +1,9 @@
-"""The SLAM driver: tracking state machine + BA schedule.
+"""The host-orchestrated SLAM driver — the reference-sequenced TEST ORACLE.
+
+Production runs use pipeline/chunked.py (the device-resident chunked core,
+the CLI default); this driver keeps the map and state machine on the host
+in exact reference sequencing and is what equivalence tests compare the
+fast path against (tests/test_chunked.py, tests/test_failure_paths.py).
 
 Host-side orchestration of the jitted device programs, mirroring the control
 flow of the reference:

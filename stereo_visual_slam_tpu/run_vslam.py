@@ -1,15 +1,27 @@
 """CLI driver — the analog of the reference's run_vslam node
-(src/run_vslam.cpp): loops a stereo sequence through the pipeline,
+(src/run_vslam.cpp:17-92): loops a stereo sequence through the pipeline,
 schedules BA per keyframe, writes the trajectory, and reports errors.
+
+The default driver is the device-resident chunked SLAM core
+(pipeline/chunked.py — the production fast path: map, state machine and BA
+schedule all live in the scan carry). `--driver host` selects the
+host-orchestrated loop (pipeline/vo.py), kept as the reference-sequenced
+test oracle.
 
 Usage:
     python -m stereo_visual_slam_tpu.run_vslam --dataset /path/to/seq00 \
         [--sequence 00] [--frames N] [--pose-out estimated_traj.txt]
     python -m stereo_visual_slam_tpu.run_vslam --synthetic 100 [--cpu]
 
+    --driver chunked|host   execution path (default: chunked)
+    --chunk N               frames per device dispatch (chunked driver)
+    --hard                  harder synthetic profile (noise, occluders,
+                            low-texture stretch, sharp turns)
     --params params.yaml    YAML overrides (see utils/config_io.py)
     --no-ba                 frontend-only ("Without Optimization" row)
-    --lookahead N           pipeline depth (0 = exact reference sequencing)
+    --lookahead N           pipeline depth (host driver only)
+    --mesh-devices N        landmark-shard the BA schedule over N devices
+    --distributed           jax.distributed.initialize() from env (multi-host)
     --plot out.png          bird's-eye trajectory figure
     --ply out.ply           landmark cloud export
     --record out.jsonl      per-frame structured log
@@ -30,11 +42,21 @@ def build_argparser():
     p.add_argument("--sequence", help="sequence id when --dataset is a root")
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="run on an N-frame synthetic sequence instead")
+    p.add_argument("--hard", action="store_true",
+                   help="harder synthetic profile (with --synthetic)")
     p.add_argument("--frames", type=int, default=0, help="limit frame count")
     p.add_argument("--params", help="YAML config overrides")
     p.add_argument("--pose-out", default="estimated_traj.txt")
     p.add_argument("--no-ba", action="store_true")
-    p.add_argument("--lookahead", type=int, default=1)
+    p.add_argument("--driver", choices=("chunked", "host"), default="chunked")
+    p.add_argument("--chunk", type=int, default=8,
+                   help="chunked driver: frames per dispatch")
+    p.add_argument("--lookahead", type=int, default=0,
+                   help="host driver: pipeline depth")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="shard the BA schedule over N devices (0 = off)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed from environment")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--plot", help="write trajectory plot PNG")
     p.add_argument("--ply", help="write landmark cloud PLY")
@@ -52,6 +74,10 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        from stereo_visual_slam_tpu.utils.dist import initialize_distributed
+
+        initialize_distributed()
 
     import numpy as np
 
@@ -71,7 +97,10 @@ def main(argv=None):
         from stereo_visual_slam_tpu.data import synthetic
 
         cfg = base
-        world = synthetic.make_world(cfg, n_frames=args.synthetic, n_points=8000)
+        profile = "hard" if args.hard else "default"
+        world = synthetic.make_world(
+            cfg, n_frames=args.synthetic, n_points=8000, profile=profile
+        )
         source = synthetic.frames(world)
         n_frames = args.synthetic
         gt = world.poses_T_c_w
@@ -90,6 +119,121 @@ def main(argv=None):
     if args.frames:
         n_frames = min(n_frames, args.frames)
 
+    mesh = None
+    if args.mesh_devices:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()[: args.mesh_devices]
+        if len(devs) < args.mesh_devices:
+            print(
+                f"need {args.mesh_devices} devices, have {len(devs)}",
+                file=sys.stderr,
+            )
+            return 2
+        mesh = Mesh(np.array(devs), ("lm",))
+
+    recorder = None
+    if args.record:
+        from stereo_visual_slam_tpu.pipeline.viz import TrajectoryRecorder
+
+        recorder = TrajectoryRecorder(args.record)
+
+    if args.driver == "chunked":
+        runner = _run_chunked
+    else:
+        runner = _run_host
+    slam, wall, n_done, n_kf = runner(
+        args, cfg, source, n_frames, mesh, recorder
+    )
+
+    print(f"processed {n_done} frames, {n_kf} keyframes "
+          f"in {wall:.1f}s ({n_done / max(wall, 1e-9):.2f} fps)")
+
+    if gt is not None and len(slam.estimates) > 2:
+        from stereo_visual_slam_tpu.pipeline import trajectory as traj_mod
+
+        fids = sorted(k for k in slam.estimates if k < len(gt))
+        est = np.stack([slam.estimates[f] for f in fids])
+        t_err, r_err = traj_mod.kitti_errors(est, gt[fids])
+        ate = traj_mod.ate_rmse(est, gt[fids])
+        print(f"ATE RMSE {ate:.3f} m | KITTI trans {t_err:.2f} % "
+              f"rot {r_err:.4f} deg/m")
+
+    if args.plot:
+        from stereo_visual_slam_tpu.pipeline.viz import plot_trajectory
+
+        plot_trajectory(slam.estimates, args.plot, gt, slam.map)
+        print(f"wrote {args.plot}")
+    if args.ply:
+        from stereo_visual_slam_tpu.pipeline.viz import export_landmarks_ply
+
+        export_landmarks_ply(slam.map, args.ply)
+        print(f"wrote {args.ply}")
+    if args.snapshot:
+        if args.driver == "chunked":
+            slam.save_snapshot(args.snapshot)
+        else:
+            from stereo_visual_slam_tpu.pipeline.snapshot import save_snapshot
+
+            save_snapshot(slam, args.snapshot)
+        print(f"wrote {args.snapshot}")
+    return 0
+
+
+def _run_chunked(args, cfg, source, n_frames, mesh, recorder):
+    """Production path: the device-resident chunked core."""
+    from stereo_visual_slam_tpu.pipeline.chunked import ChunkedSlam
+
+    if args.no_ba:
+        import dataclasses
+
+        cfg = cfg.replace(
+            ba=dataclasses.replace(
+                cfg.ba, classify_passes=0, full_iters=0, pose_only_iters=0
+            )
+        )
+    slam = ChunkedSlam(
+        cfg, chunk=args.chunk, pose_path=args.pose_out, mesh=mesh
+    )
+    if args.resume:
+        slam.load_snapshot(args.resume)
+
+    seen = 0  # stats entries already reported
+    t0 = time.perf_counter()
+    for f, left, right in source:
+        if f >= n_frames:
+            break
+        slam.process(f, left, right)
+        seen = _report_chunked(slam, seen, recorder, args.quiet)
+        if slam.lost:
+            print("tracking LOST", file=sys.stderr)
+            break
+    slam.finish()
+    _report_chunked(slam, seen, recorder, args.quiet)
+    wall = time.perf_counter() - t0
+
+    n_done = len(slam.stats)
+    n_kf = sum(1 for s in slam.stats if s["keyframe"])
+    return slam, wall, n_done, n_kf
+
+
+def _report_chunked(slam, seen, recorder, quiet):
+    """Stream newly collected frame records to stdout / the recorder."""
+    for rec in slam.stats[seen:]:
+        if recorder:
+            recorder.record(rec, slam.estimates.get(rec["frame_id"]))
+        if not quiet and (rec["frame_id"] % 50 == 0 or rec["keyframe"]):
+            print(
+                f"frame {rec['frame_id']:5d} {rec['state']:9s} "
+                f"kf={int(rec['keyframe'])} "
+                f"inl={rec['n_inliers']:4d}",
+                flush=True,
+            )
+    return len(slam.stats)
+
+
+def _run_host(args, cfg, source, n_frames, mesh, recorder):
+    """Reference-sequenced host loop (test oracle)."""
     from stereo_visual_slam_tpu.pipeline.vo import VisualOdometry
 
     vo = VisualOdometry(
@@ -98,11 +242,6 @@ def main(argv=None):
         enable_ba=not args.no_ba,
         lookahead=args.lookahead,
     )
-    recorder = None
-    if args.record:
-        from stereo_visual_slam_tpu.pipeline.viz import TrajectoryRecorder
-
-        recorder = TrajectoryRecorder(args.record)
     if args.resume:
         from stereo_visual_slam_tpu.pipeline.snapshot import load_snapshot
 
@@ -127,37 +266,7 @@ def main(argv=None):
             break
     vo.finish()
     wall = time.perf_counter() - t0
-
-    n_kf = vo.next_kf_id
-    print(f"processed {vo.last_frame_id + 1} frames, {n_kf} keyframes "
-          f"in {wall:.1f}s ({(vo.last_frame_id + 1) / wall:.2f} fps)")
-
-    if gt is not None and len(vo.estimates) > 2:
-        from stereo_visual_slam_tpu.pipeline import trajectory as traj_mod
-
-        fids = sorted(k for k in vo.estimates if k < len(gt))
-        est = np.stack([vo.estimates[f] for f in fids])
-        t_err, r_err = traj_mod.kitti_errors(est, gt[fids])
-        ate = traj_mod.ate_rmse(est, gt[fids])
-        print(f"ATE RMSE {ate:.3f} m | KITTI trans {t_err:.2f} % "
-              f"rot {r_err:.4f} deg/m")
-
-    if args.plot:
-        from stereo_visual_slam_tpu.pipeline.viz import plot_trajectory
-
-        plot_trajectory(vo.estimates, args.plot, gt, vo.map)
-        print(f"wrote {args.plot}")
-    if args.ply:
-        from stereo_visual_slam_tpu.pipeline.viz import export_landmarks_ply
-
-        export_landmarks_ply(vo.map, args.ply)
-        print(f"wrote {args.ply}")
-    if args.snapshot:
-        from stereo_visual_slam_tpu.pipeline.snapshot import save_snapshot
-
-        save_snapshot(vo, args.snapshot)
-        print(f"wrote {args.snapshot}")
-    return 0
+    return vo, wall, vo.last_frame_id + 1, vo.next_kf_id
 
 
 if __name__ == "__main__":

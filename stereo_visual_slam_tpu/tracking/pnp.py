@@ -80,11 +80,20 @@ def solve_pnp_ransac(
     gn_iters_hypothesis: int = 10,
     gn_iters_refine: int = 10,
     huber_px: float = 4.0,
+    prior_spread=0.0,
 ) -> PnPResult:
     """Estimate T_c_w from world points (N,3) and pixels (N,2) with outliers.
 
     T_init: motion prior (e.g. constant-velocity extrapolation); hypotheses
     start from it, so convergence per minimal set takes a handful of GN steps.
+
+    prior_spread (metres, traced scalar ok): hypothesis-start diversity. The
+    first half of the hypotheses start exactly at T_init; the other half at
+    T_init perturbed by random twists with translation std ramping up to
+    prior_spread (rotation std 5 % of that, radians). A wrong prior (erratic
+    motion, recovery after rejections) then cannot collapse ALL hypotheses
+    into one bad GN basin — the diversity role cv::solvePnPRansac's
+    prior-free minimal solves play in the reference (vo.cpp:277).
     """
     # Fence the inputs: when fused with an upstream matcher, XLA would
     # otherwise rematerialize the producer chains (e.g. the full N x M
@@ -97,11 +106,25 @@ def solve_pnp_ransac(
     dtype = pts_w.dtype
 
     # --- sample H minimal sets over valid entries (Gumbel top-k) ---
-    g = jax.random.gumbel(rng_key, (n_hypotheses, N), dtype=dtype)
+    k_sample, k_perturb = jax.random.split(rng_key)
+    g = jax.random.gumbel(k_sample, (n_hypotheses, N), dtype=dtype)
     g = jnp.where(valid[None, :], g, -jnp.inf)
     _, sample_idx = jax.lax.top_k(g, sample_size)          # (H, S)
 
-    def fit_one(idx):
+    # --- hypothesis start diversity: half exact prior, half perturbed with
+    #     a per-hypothesis scale ramp 0..prior_spread ---
+    spread = jnp.asarray(prior_spread, dtype)
+    ramp = jnp.linspace(0.0, 1.0, n_hypotheses, dtype=dtype)
+    scale = jnp.where(
+        jnp.arange(n_hypotheses) < n_hypotheses // 2, 0.0, ramp
+    ) * spread                                              # (H,)
+    twists = jax.random.normal(k_perturb, (n_hypotheses, 6), dtype=dtype)
+    twists = twists * scale[:, None] * jnp.asarray(
+        [1.0, 1.0, 1.0, 0.05, 0.05, 0.05], dtype
+    )
+    T_starts = jax.vmap(lambda d: se3.compose(se3.exp(d), T_init))(twists)
+
+    def fit_one(idx, T_start):
         p = pts_w[idx]                                      # (S, 3)
         u = uv[idx]                                         # (S, 2)
         w = jnp.ones((sample_size,), dtype)
@@ -109,9 +132,9 @@ def solve_pnp_ransac(
         def body(_, T):
             return _gn_step(T, p, u, w, K, jnp.asarray(1e-4, dtype))
 
-        return jax.lax.fori_loop(0, gn_iters_hypothesis, body, T_init)
+        return jax.lax.fori_loop(0, gn_iters_hypothesis, body, T_start)
 
-    T_hyp = jax.vmap(fit_one)(sample_idx)                   # (H, 4, 4)
+    T_hyp = jax.vmap(fit_one)(sample_idx, T_starts)         # (H, 4, 4)
 
     # --- score all hypotheses against all points ---
     def score_one(T):

@@ -41,9 +41,13 @@ class FrontendConfig:
     # Detection. The reference caps raw ORB corners at 3000
     # (visual_odometry.cpp:22); 2048 measured equal-or-better on the
     # synthetic benchmark (ate 0.114 vs 0.125) while shrinking the matcher's
-    # NxN distance matrix 2.1x — set 3000 to mirror the reference exactly.
-    max_raw_keypoints: int = 2048      # ORB cap before ANMS
+    # NxN distance matrix 2.1x. Set 3000 to mirror the reference cap.
+    max_raw_keypoints: int = 2048      # ORB cap before ANMS (all levels)
     n_features: int = 500              # ANMS target (fixed feature array size)
+    # Image pyramid (cv::ORB defaults: 8 levels, 1.2 scale factor).
+    # Keypoint budget per level falls geometrically (1/scale_factor).
+    n_levels: int = 8
+    scale_factor: float = 1.2
     fast_threshold: int = 20           # FAST-9/16 intensity threshold
     fast_arc_length: int = 9           # contiguous circle pixels required
     nms_radius: int = 1                # 3x3 non-max suppression
@@ -54,6 +58,15 @@ class FrontendConfig:
     orientation_radius: int = 15       # intensity-centroid circle radius
     descriptor_bits: int = 256         # rBRIEF length
     blur_box: int = 5                  # 5x5 box blur before sampling (BRIEF standard)
+    # Dispatch FAST+NMS to the fused Pallas kernel on TPU (bit-identical to
+    # ops/fast.py; see ops/pallas/fast_kernel.py). XLA path used on CPU.
+    pallas_fast: bool = True
+    # Upright vs orientation-steered BRIEF. The reference steers
+    # (cv::ORB rBRIEF); on roll-free rigs (KITTI) the centroid angle is
+    # noise on weak corners and steering HALVES the true-match rate while
+    # costing a 30x larger matmul — see ops/orb.py describe(). Set True for
+    # rotation-invariant matching.
+    steer_descriptor: bool = False
     # Stereo depth (per-keypoint epipolar search replaces dense SGBM)
     max_disparity: int = 96            # visual_odometry.cpp:164 numDisparities
     stereo_patch: int = 11             # SGBM block size 9 -> use 11 ZNCC window
@@ -69,7 +82,12 @@ class MatcherConfig:
     keep matches with d <= max(2*min_d, 30*frame_gap) (visual_odometry.cpp:239-246).
     """
 
-    base_gate: float = 30.0
+    # The reference's base gate is 30 Hamming bits/frame-gap on OpenCV's
+    # learned rBRIEF (visual_odometry.cpp:242). Our upright random-pattern
+    # BRIEF runs hotter on true matches; 45 measured best on the synthetic
+    # benchmark (trans 0.74% vs 0.85% @30, rot 0.0091 vs 0.0170 deg/m) —
+    # junk admitted by the wider gate is rejected by PnP RANSAC.
+    base_gate: float = 45.0
     min_dist_factor: float = 2.0
     # robustness additions (see ops/matcher.py): absolute-margin ratio test
     # (0 disables) and motion-prediction search radius (px, scaled by frame
@@ -94,6 +112,10 @@ class PnPConfig:
     huber_px: float = 4.0              # Huber scale for the refinement
     min_inliers: int = 10              # check_motion_estimation (visual_odometry.cpp:319)
     max_twist: float = 5.0             # ||log(T_c_l)|| <= 5 * frame_gap (visual_odometry.cpp:329)
+    # hypothesis-start diversity (tracking/pnp.py): translation std of the
+    # perturbed half of the RANSAC starts, per unit frame gap. Plays the
+    # prior-independence role of the reference's closed-form minimal solves.
+    prior_spread: float = 0.3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,7 +216,8 @@ def small_config(h: int = 128, w: int = 256) -> Config:
     c = Config(image_hw=(h, w))
     return c.replace(
         frontend=dataclasses.replace(
-            c.frontend, max_raw_keypoints=512, n_features=128, max_disparity=32
+            c.frontend, max_raw_keypoints=512, n_features=128,
+            max_disparity=32, n_levels=3,
         ),
         ba=dataclasses.replace(c.ba, max_landmarks=512),
         pnp=dataclasses.replace(c.pnp, n_hypotheses=64),

@@ -18,6 +18,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from stereo_visual_slam_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()  # reruns of the suite start warm
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

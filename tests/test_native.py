@@ -159,3 +159,192 @@ def test_traj_writer_append(tmp_path):
         lines = f.read().strip().splitlines()
     assert len(lines) == 2
     assert lines[0].startswith("0 ") and lines[1].startswith("1 ")
+
+
+# ---------------------------------------------------------------------------
+# Native map store (native/src/mapstore.cpp) vs the Python oracle
+# (mapping/store.py) — randomized operation-sequence equivalence.
+# ---------------------------------------------------------------------------
+
+
+def _small_cfg():
+    from stereo_visual_slam_tpu.utils.config import small_config
+
+    return small_config()
+
+
+def _random_kf(rng, cfg, kf_id, frame_id, store, next_ids):
+    """Build one random Keyframe referencing a mix of existing + new
+    landmarks, mirroring what the pipeline does per keyframe."""
+    from stereo_visual_slam_tpu.mapping.store import Keyframe
+
+    N = cfg.frontend.max_raw_keypoints
+    n_new = int(rng.integers(5, 40))
+    ids_new = np.arange(next_ids, next_ids + n_new, dtype=np.int64)
+    pos_new = rng.normal(0, 20, (n_new, 3)).astype(np.float32)
+    rel_new = rng.uniform(size=n_new) < 0.7
+    rows = np.full(N, -1, np.int32)
+    valid = np.zeros(N, bool)
+    uv = np.zeros((N, 2), np.float32)
+
+    # observe some existing landmarks
+    state_rows = np.nonzero(store.alive)[0]
+    n_old = min(len(state_rows), int(rng.integers(0, 60)))
+    if n_old:
+        pick = rng.choice(state_rows, n_old, replace=False).astype(np.int32)
+        rows[:n_old] = pick
+        valid[:n_old] = True
+        uv[:n_old] = rng.uniform(0, 500, (n_old, 2)).astype(np.float32)
+    return (
+        Keyframe(
+            keyframe_id=kf_id,
+            frame_id=frame_id,
+            T_c_w=_rand_pose(rng),
+            rows=rows,
+            uv=uv,
+            valid=valid,
+        ),
+        ids_new,
+        pos_new,
+        rel_new,
+    )
+
+
+def _rand_pose(rng):
+    th = rng.normal(0, 0.2, 3)
+    a = np.linalg.norm(th) + 1e-12
+    k = th / a
+    Kx = np.array(
+        [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]]
+    )
+    R = np.eye(3) + np.sin(a) * Kx + (1 - np.cos(a)) * (Kx @ Kx)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R.astype(np.float32)
+    T[:3, 3] = rng.normal(0, 2.0, 3).astype(np.float32)
+    return T
+
+
+def test_native_mapstore_equivalence(rng):
+    """Drive the SAME random op sequence through the Python oracle and the
+    native store; arena state, counts, eviction choices, and the assembled
+    BA window must agree exactly."""
+    from stereo_visual_slam_tpu.mapping.store import MapStore
+
+    cfg = _small_cfg()
+    py = MapStore(cfg)
+    nat = native.NativeMapStore(cfg)
+
+    next_id = 0
+    for step in range(30):
+        kf, ids_new, pos_new, rel_new = _random_kf(
+            rng, cfg, kf_id=step, frame_id=step * 2, store=py,
+            next_ids=next_id,
+        )
+        next_id += len(ids_new)
+        # spawn new landmarks in both, then observe them in this keyframe
+        py.spawn(ids_new, pos_new, rel_new)
+        nat.spawn(ids_new, pos_new, rel_new)
+        new_rows_py = py.rows_of(ids_new)
+        new_rows_nat = nat.rows_of(ids_new)
+        np.testing.assert_array_equal(new_rows_py, new_rows_nat)
+        # fill the keyframe's tail slots with the new landmarks
+        n_used = int(kf.valid.sum())
+        m = min(len(ids_new), len(kf.rows) - n_used)
+        kf.rows[n_used : n_used + m] = new_rows_py[:m]
+        kf.valid[n_used : n_used + m] = True
+        kf.uv[n_used : n_used + m] = rng.uniform(0, 500, (m, 2)).astype(
+            np.float32
+        )
+
+        py.insert_keyframe(kf)
+        nat.insert_keyframe(kf)
+
+        # occasional upgrade of some live rows
+        if step % 3 == 2:
+            live = np.nonzero(py.alive)[0]
+            n_up = min(len(live), 7)
+            rows_up = live[:n_up].astype(np.int32)
+            pos_up = rng.normal(0, 20, (n_up, 3)).astype(np.float32)
+            py.upgrade(rows_up, pos_up)
+            nat.upgrade(rows_up, pos_up)
+
+        assert py.n_keyframes() == nat.n_keyframes()
+        assert py.n_landmarks() == nat.n_landmarks(), f"step {step}"
+
+        st = nat.arena_state()
+        np.testing.assert_array_equal(py.alive, st["alive"][: len(py.alive)])
+        np.testing.assert_array_equal(
+            py.obs_count, st["obs_count"][: len(py.obs_count)]
+        )
+        np.testing.assert_array_equal(py.row_id, st["row_id"][: len(py.row_id)])
+        live = py.alive
+        np.testing.assert_array_equal(py.pos[live], st["pos"][: len(live)][live])
+        np.testing.assert_array_equal(
+            py.reliable[live], st["reliable"][: len(live)][live]
+        )
+
+        # same eviction history
+        assert len(py.evicted) == nat._lib.ms_evicted_count(nat._handle)
+
+        # identical BA window assembly
+        out_py = py.assemble_schedule_input()
+        out_nat = nat.assemble_schedule_input()
+        assert (out_py is None) == (out_nat is None)
+        if out_py is not None:
+            arrays_py, kf_ids_py, sel_py = out_py
+            arrays_nat, kf_ids_nat, sel_nat = out_nat
+            np.testing.assert_array_equal(kf_ids_py, kf_ids_nat)
+            np.testing.assert_array_equal(sel_py, sel_nat)
+            for k in arrays_py:
+                np.testing.assert_array_equal(
+                    arrays_py[k], arrays_nat[k], err_msg=k
+                )
+
+    # eviction queue contents agree (pop order + payload)
+    for kf in py.evicted:
+        got = nat.pop_evicted()
+        assert got is not None
+        kid, fid, T = got
+        assert kid == kf.keyframe_id and fid == kf.frame_id
+        np.testing.assert_array_equal(T, np.asarray(kf.T_c_w, np.float32))
+    assert nat.pop_evicted() is None
+
+
+def test_native_mapstore_write_back(rng):
+    """BA write-back applies poses to live keyframes and verdicts to live
+    rows identically in both stores."""
+    from stereo_visual_slam_tpu.mapping.store import MapStore
+
+    cfg = _small_cfg()
+    py = MapStore(cfg)
+    nat = native.NativeMapStore(cfg)
+    next_id = 0
+    for step in range(12):
+        kf, ids_new, pos_new, rel_new = _random_kf(
+            rng, cfg, kf_id=step, frame_id=step, store=py, next_ids=next_id
+        )
+        next_id += len(ids_new)
+        py.spawn(ids_new, pos_new, rel_new)
+        nat.spawn(ids_new, pos_new, rel_new)
+        rows_new = py.rows_of(ids_new)
+        n_used = int(kf.valid.sum())
+        m = min(len(ids_new), len(kf.rows) - n_used)
+        kf.rows[n_used : n_used + m] = rows_new[:m]
+        kf.valid[n_used : n_used + m] = True
+        py.insert_keyframe(kf)
+        nat.insert_keyframe(kf)
+
+    out_py = py.assemble_schedule_input()
+    arrays, kf_ids, sel = out_py
+    nK = len(kf_ids)
+    T_new = np.stack([_rand_pose(rng) for _ in range(nK)])
+    verdict = (rng.uniform(size=len(sel)) < 0.8).astype(np.float32)
+    py.write_back_schedule(kf_ids, sel, T_new, verdict)
+    nat.write_back_schedule(kf_ids, sel, T_new, verdict)
+
+    st = nat.arena_state()
+    np.testing.assert_array_equal(py.inlier, st["inlier"][: len(py.inlier)])
+    a_py = py.assemble_schedule_input()[0]
+    a_nat = nat.assemble_schedule_input()[0]
+    for k in a_py:
+        np.testing.assert_array_equal(a_py[k], a_nat[k], err_msg=k)

@@ -106,3 +106,78 @@ def test_batch_frontend_sharded(mesh_config=None):
         np.asarray(batched.packed[3]),
         np.asarray(extract(left_b[3], right_b[3]).packed),
     )
+
+
+# ---------------------------------------------------------------------------
+# Live-pipeline integration: the WHOLE BA schedule sharded, and the
+# production chunked SLAM core on a mesh.
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_schedule_matches_single_device(rng, mesh):
+    """ba.schedule.make_ba_schedule(mesh=...) == single-device schedule."""
+    from stereo_visual_slam_tpu.ba import schedule as ba_schedule
+    from stereo_visual_slam_tpu.utils.config import BAConfig
+
+    problem, T_gt, pts_gt, _ = make_ba_problem(rng, n_lm=152, px_noise=0.3)
+    L = 512
+    p = pad_problem_L(problem, L)
+    present = (jnp.arange(L) < problem.points.shape[0]).astype(jnp.float32)
+    inp = ba_schedule.ScheduleInput(
+        T_c_w=p.T_c_w,
+        points=p.points,
+        uv=p.uv,
+        obs_mask=p.obs_mask,
+        inlier=present,
+        reliable=present,
+        present=present,
+        pose_mask=p.pose_mask,
+        fixed_pose=p.fixed_pose,
+    )
+    cfg = BAConfig()
+    single = ba_schedule.make_ba_schedule(cfg)(inp, K)
+    sharded = jax.jit(ba_schedule.make_ba_schedule(cfg, mesh=mesh))(inp, K)
+    np.testing.assert_allclose(
+        np.asarray(sharded.T_c_w), np.asarray(single.T_c_w), atol=2e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.inlier), np.asarray(single.inlier)
+    )
+    np.testing.assert_allclose(
+        float(sharded.cost_full), float(single.cost_full), rtol=1e-4
+    )
+
+
+def test_chunked_core_sharded_matches_single(mesh):
+    """The production chunked SLAM step on the mesh tracks the same
+    trajectory as the single-device build (same frames, same RNG)."""
+    from stereo_visual_slam_tpu.data import synthetic
+    from stereo_visual_slam_tpu.pipeline.chunked import ChunkedSlam
+    from stereo_visual_slam_tpu.utils.config import small_config
+
+    cfg = small_config(h=128, w=256)
+    world = synthetic.make_world(cfg, n_frames=12, n_points=1500, seed=0)
+    rendered = [(f, l, r) for f, l, r in synthetic.frames(world)]
+
+    runs = {}
+    for name, m in (("single", None), ("sharded", mesh)):
+        slam = ChunkedSlam(cfg, chunk=6, mesh=m)
+        for f, l, r in rendered:
+            slam.process(f, l, r)
+        slam.finish()
+        assert not slam.lost
+        runs[name] = slam
+
+    assert any(s["ba_cost"] is not None for s in runs["sharded"].stats), (
+        "the sharded BA schedule must have executed"
+    )
+    common = sorted(
+        set(runs["single"].estimates) & set(runs["sharded"].estimates)
+    )
+    assert len(common) >= 10
+    for f in common:
+        d = np.linalg.norm(
+            np.linalg.inv(runs["single"].estimates[f])[:3, 3]
+            - np.linalg.inv(runs["sharded"].estimates[f])[:3, 3]
+        )
+        assert d < 5e-2, f"frame {f}: sharded diverges by {d} m"

@@ -96,3 +96,31 @@ def test_pnp_degenerate_returns_prior(rng):
     np.testing.assert_allclose(
         np.asarray(res.T_c_w), np.asarray(T_prior), atol=1e-6
     )
+
+
+def test_pnp_bad_prior_recovery(rng):
+    """A deliberately WRONG motion prior (3.5 m + attitude error away from
+    the truth): prior-perturbed hypothesis starts (prior_spread > 0) must
+    recover the pose where the pure-prior RANSAC collapses into the wrong
+    GN basin — the diversity role of the reference's prior-free minimal
+    solves (cv::solvePnPRansac, visual_odometry.cpp:277)."""
+    pts, uv, valid, T_gt, _ = make_scene(rng, outlier_frac=0.2, noise_px=0.3)
+    bad = se3.compose(
+        se3.exp(jnp.asarray([1.8, -0.8, -2.8, 0.05, 0.08, -0.04],
+                            jnp.float32)),
+        T_gt,
+    )
+    res_div = pnp.solve_pnp_ransac(
+        pts, uv, valid, K, bad, jax.random.PRNGKey(2), prior_spread=1.5
+    )
+    assert pose_error(res_div.T_c_w, T_gt) < 5e-3, (
+        f"diverse starts failed: err={pose_error(res_div.T_c_w, T_gt)}, "
+        f"inliers={int(res_div.n_inliers)}"
+    )
+    assert int(res_div.n_inliers) >= 120
+
+    res_flat = pnp.solve_pnp_ransac(
+        pts, uv, valid, K, bad, jax.random.PRNGKey(2), prior_spread=0.0
+    )
+    # the spread must help: strictly more consensus than the pure prior
+    assert int(res_div.n_inliers) >= int(res_flat.n_inliers)

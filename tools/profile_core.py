@@ -91,7 +91,8 @@ def main():
     fids = jnp.arange(chunk, dtype=jnp.int32) + 100
     key = jax.random.PRNGKey(0)
     carry = slam.carry
-    t_step = timeit(lambda: step(carry, imgs, fids, key))
+    active = jnp.ones((chunk,), bool)
+    t_step = timeit(lambda: step(carry, imgs, fids, active, key))
     print(f"chunk step (dev):   {t_step/chunk*1e3:8.2f} ms/frame (steady-state carry)")
 
 

@@ -58,8 +58,8 @@ def main():
         imgs = jnp.asarray(stacked)
         fidsd = jnp.asarray(fids)
         t2 = time.perf_counter()
-        slam.key, k = jax.random.split(slam.key)
-        carry, recs = slam.chunk_step(slam.carry, imgs, fidsd, k)
+        active = jnp.ones(fidsd.shape, bool)
+        carry, recs = slam.chunk_step(slam.carry, imgs, fidsd, active, slam.key)
         slam.carry = carry
         slam.inflight.append(recs)
         t3 = time.perf_counter()

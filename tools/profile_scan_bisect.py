@@ -78,7 +78,7 @@ def main():
 
     @jax.jit
     def scan_full(carry, images, fids, key):
-        c, recs = chunk_step(carry, images, fids, key)
+        c, recs = chunk_step(carry, images, fids, jnp.ones(fids.shape, bool), key)
         return c, recs.twist
 
     timed(scan_full, carry0, images, fids, key, "scan: full slam step")

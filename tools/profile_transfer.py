@@ -53,12 +53,12 @@ def main():
     images = jnp.asarray(img)
     fids = jnp.arange(B, dtype=jnp.int32)
     key = jax.random.PRNGKey(0)
-    carry, recs = chunk_step(carry, images, fids, key)
+    carry, recs = chunk_step(carry, images, fids, jnp.ones(fids.shape, bool), key)
     jax.block_until_ready(recs)
     t0 = time.perf_counter()
     reps = 6
     for i in range(reps):
-        carry, recs = chunk_step(carry, images, fids + i * B, key)
+        carry, recs = chunk_step(carry, images, fids + i * B, jnp.ones(fids.shape, bool), key)
     jax.block_until_ready(recs)
     float(jnp.sum(recs.twist))
     dt = (time.perf_counter() - t0) / (reps * B)
