@@ -106,36 +106,34 @@ def optimize_pose_only(
             return dxi * free[:, None]
 
     def cond_fn(carry):
-        i, _, _, _, _, done = carry
+        i, _, _, _, done = carry
         return (i < iters) & ~done
 
     def body(carry):
-        # cached linearization (see schur_lm.lm_body): full Jacobian pass
-        # only on accepted steps, rejections retry on the cached (r, J)
-        i, T, lin, lam, cost = carry[:5]
+        # linearize unconditionally (see schur_lm.lm_body): identical values
+        # on rejected steps, cheaper than a lax.cond-selected cached pytree
+        i, T, lam, cost, done = carry
+        lin = linearize(T)
         dxi = solve(lin, lam)
         T_new = se3.normalize_rotation(se3.compose(se3.exp(dxi), T))
         r2, d2 = residual_cheap(T_new)
         cost_new = robust_cost(r2, d2)
         accept = cost_new < cost
         done = (accept & (cost - cost_new <= rel_tol * cost)) | (lam >= 1e7)
-        T, lin, cost = jax.lax.cond(
-            accept,
-            lambda: (T_new, linearize(T_new), cost_new),
-            lambda: (T, lin, cost),
-        )
+        T = jnp.where(accept, T_new, T)
+        cost = jnp.where(accept, cost_new, cost)
         lam = jnp.where(
             accept,
             jnp.maximum(lam * lambda_down, 1e-10),
             jnp.minimum(lam * lambda_up, 1e8),
         )
-        return i + 1, T, lin, lam, cost, done
+        return i + 1, T, lam, cost, done
 
     lin0 = linearize(problem.T_c_w)
     cost0 = robust_cost(lin0[0], lin0[2])
-    _, T, _, lam, cost, _ = jax.lax.while_loop(
+    _, T, lam, cost, _ = jax.lax.while_loop(
         cond_fn, body,
-        (jnp.asarray(0, jnp.int32), problem.T_c_w, lin0,
+        (jnp.asarray(0, jnp.int32), problem.T_c_w,
          jnp.asarray(lambda_init, dtype), cost0, jnp.asarray(False)),
     )
 

@@ -207,9 +207,13 @@ def lm_optimize(
         b_s = b_s * free_k[:, None]
 
         S = S.at[jnp.arange(nK), :, jnp.arange(nK), :].add(eye6 * 1e-8)
-        # unrolled block elimination (geom/linalg.py): XLA's LU for the
-        # 60x60 reduced system is a sequential loop costing ~1 ms on TPU
-        dxi = solve_block_spd(S, b_s) * free_k[:, None]
+        # XLA's 60x60 LU solve measures ~0.02 ms on TPU v5e once dispatch
+        # overhead is subtracted (tools/profile_hotspots.py, two-length
+        # fori method) — ~20x cheaper than the unrolled block elimination
+        # (geom/linalg.solve_block_spd, kept as the documented alternative).
+        dxi = jnp.linalg.solve(
+            S.reshape(6 * nK, 6 * nK), b_s.reshape(6 * nK)
+        ).reshape(nK, 6) * free_k[:, None]
 
         if update_points:
             rhs = b_l - jnp.einsum("lkij,ki->lj", Wb, dxi)
@@ -225,16 +229,16 @@ def lm_optimize(
         )
 
     def lm_cond(carry):
-        i, _, _, _, _, _, done = carry
+        i, _, _, _, _, done = carry
         return (i < iters) & ~done
 
     def lm_body(carry):
-        # the linearization at the CURRENT accepted point rides in the carry:
-        # a rejected step retries the solve with a larger lambda on the cached
-        # (r, J) instead of re-linearizing, and acceptance testing needs only
-        # residuals — one full Jacobian pass per ACCEPTED iteration instead
-        # of two per iteration (this is where the BA milliseconds live)
-        i, T, P, lin, lam, cost, done = carry
+        # Linearize unconditionally at the current accepted point: a
+        # rejected step re-linearizes unchanged (T, P) — identical values,
+        # and cheaper than carrying the ~3.4 MB (r, Jp, Jl) pytree through a
+        # lax.cond select every iteration (measured, two-length fori method).
+        i, T, P, lam, cost, done = carry
+        lin = linearize(T, P)
         dxi, dP = solve_normal_eqs(*lin, lam)
         T_new = se3.normalize_rotation(se3.compose(se3.exp(dxi), T))
         P_new = P + dP
@@ -244,27 +248,26 @@ def lm_optimize(
         # converged: an ACCEPTED step improved the cost by < rel_tol, or
         # rejections drove the damping to saturation (steps are then ~0)
         done = (accept & (cost - cost_new <= rel_tol * cost)) | (lam >= 1e7)
-        T, P, lin, cost = jax.lax.cond(
-            accept,
-            lambda: (T_new, P_new, linearize(T_new, P_new), cost_new),
-            lambda: (T, P, lin, cost),
-        )
+        sel = lambda a, b: jnp.where(accept, a, b)
+        T = jax.tree.map(sel, T_new, T)
+        P = jax.tree.map(sel, P_new, P)
+        cost = jnp.where(accept, cost_new, cost)
         lam = jnp.where(
             accept,
             jnp.maximum(lam * lambda_down, 1e-10),
             jnp.minimum(lam * lambda_up, 1e8),
         )
-        return i + 1, T, P, lin, lam, cost, done
+        return i + 1, T, P, lam, cost, done
 
     T0 = problem.T_c_w
     P0 = problem.points
     lin0 = linearize(T0, P0)
     cost0 = _robust_cost(lin0[0], problem, huber_delta, lin0[3], axis_name)
     lam0 = jnp.asarray(lambda_init, dtype)
-    _, T, P, _, lam, cost, _ = jax.lax.while_loop(
+    _, T, P, lam, cost, _ = jax.lax.while_loop(
         lm_cond,
         lm_body,
-        (jnp.asarray(0, jnp.int32), T0, P0, lin0, lam0, cost0,
+        (jnp.asarray(0, jnp.int32), T0, P0, lam0, cost0,
          jnp.asarray(False)),
     )
 

@@ -53,18 +53,30 @@ class FrameFeatures(NamedTuple):
     pts_cam: jnp.ndarray     # (N, 3) camera-frame 3D (valid where depth_valid)
 
 
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _use_pallas_fast(config: Config) -> bool:
     """Dispatch FAST+NMS to the fused Pallas kernel on TPU: one HBM image
     read + one score write per frame vs the XLA path's 16 shifted image
     copies (ops/fast.py is the ground truth and the CPU path)."""
-    import jax
-
     if not config.frontend.pallas_fast:
         return False
-    if jax.default_backend() not in ("tpu", "axon"):
+    if not _on_tpu():
         return False
     H, W = config.padded_hw
     return H % 64 == 0 and W % 256 == 0
+
+
+def _stereo_impl(config: Config) -> str:
+    """The Pallas per-keypoint DMA kernel wins ~8x over the XLA strip
+    gathers on TPU (tools/profile_hotspots.py); XLA is the ground truth and
+    the CPU path."""
+    n = config.frontend.max_raw_keypoints
+    if config.frontend.pallas_stereo and _on_tpu() and n % 8 == 0:
+        return "pallas"
+    return "xla"
 
 
 def _level_geometry(config: Config):
@@ -176,6 +188,7 @@ def make_extractor(config: Config):
             min_depth=fe.min_depth,
             max_depth=fe.max_depth,
             reliable_depth=fe.reliable_depth,
+            impl=_stereo_impl(config),
         )
         pts_cam = stereo_ops.backproject(
             yx_f, st.depth, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy

@@ -1,11 +1,23 @@
 """Chunked host driver for the device-resident SLAM core — the PRODUCTION
 driver (run_vslam.py dispatches here by default).
 
-The host's whole job: stack B frames, upload once, dispatch the scanned
-chunk program (models/slam_core.py), and — one chunk LATE — fetch the
-per-frame records. With double buffering the ~24 ms tunnel round trip and
-the next chunk's device compute overlap, so the host adds O(RT / B) per
-frame instead of O(RT).
+The host's job: stack B frames, upload, dispatch the scanned chunk program
+(models/slam_core.py), and fetch the per-frame records. Every host<->device
+interaction on the TPU tunnel carries a ~25 ms round-trip floor and uploads
+stream at ~1.5 GB/s (tools/profile_hotspots.py / profile_device.py), while
+the compiled chunk program itself runs at ~7 ms/frame — so ALL transfers
+run on background threads:
+
+  * an upload pool assembles + device_puts each chunk's images and sideband
+    (frame ids + active mask) ahead of time (depth `prefetch`),
+  * the main thread only dispatches chunk programs (array-arg dispatches are
+    ~0.1 ms) in carry order,
+  * per-frame records are packed into ONE (B, R) f32 matrix by a tiny jitted
+    kernel (a pytree fetch would pay one round trip per leaf) and fetched by
+    a collector pool one chunk late.
+
+Steady-state wall time per frame approaches pure device throughput; the
+host adds only dispatch cost.
 
 Semantics equal pipeline/vo.py with lookahead=0 (exact reference
 sequencing, BA feedback on the very next frame) — this driver simply moves
@@ -22,6 +34,7 @@ bit-exactly.
 from __future__ import annotations
 
 import collections
+import concurrent.futures as cf
 from typing import Deque, Dict, List, Optional, Tuple
 
 import jax
@@ -57,6 +70,34 @@ class _MapView:
                 )
 
 
+def _make_record_packer():
+    """Jitted FrameRecord -> (B, 48) f32 packer: scalars in columns 0..13,
+    T_c_w rows 14..29, evict_T rows 30..45 (frame ids <= 2^24 are exact in
+    f32). One array out = ONE tunnel fetch per chunk."""
+
+    @jax.jit
+    def pack(recs: slam_core.FrameRecord) -> jnp.ndarray:
+        cols = [
+            recs.active, recs.frame_id, recs.tracked, recs.lost,
+            recs.is_keyframe, recs.n_matches, recs.n_inliers, recs.n_new,
+            recs.twist, recs.angle_y, recs.ba_ran, recs.ba_cost,
+            recs.evict_valid, recs.evict_frame_id,
+        ]
+        head = jnp.stack([c.astype(jnp.float32) for c in cols], axis=-1)
+        B = head.shape[0]
+        return jnp.concatenate(
+            [
+                head,
+                recs.T_c_w.reshape(B, 16),
+                recs.evict_T.reshape(B, 16),
+                jnp.zeros((B, 2), jnp.float32),
+            ],
+            axis=-1,
+        )
+
+    return pack
+
+
 class ChunkedSlam:
     def __init__(
         self,
@@ -65,6 +106,7 @@ class ChunkedSlam:
         pose_path: Optional[str] = None,
         seed: int = 0,
         mesh=None,
+        prefetch: int = 3,
     ):
         self.config = config
         self.chunk = chunk
@@ -73,17 +115,22 @@ class ChunkedSlam:
         self.carry = slam_core.init_carry(config)
         self.key = jax.random.PRNGKey(seed)
         self.writer = TrajectoryWriter(pose_path) if pose_path else None
-        self.inflight: Deque[Tuple] = collections.deque()
         self.pending: List[Tuple[int, np.ndarray, np.ndarray]] = []
         self.estimates: Dict[int, np.ndarray] = {}
         self.stats: List[dict] = []
         self.lost = False
         self._evictions: List[Tuple[int, np.ndarray]] = []
+        self._pack = _make_record_packer()
+        self._pool = cf.ThreadPoolExecutor(max_workers=4)
+        self._uploads: Deque[cf.Future] = collections.deque()
+        self._fetches: Deque[cf.Future] = collections.deque()
+        self._prefetch = max(1, prefetch)
+        self.timing = collections.defaultdict(float)  # host phase breakdown
 
     # ------------------------------------------------------------------
     def warmup(self):
-        """Compile the chunk program on dummy frames (slow over the tunnel,
-        cached persistently afterwards)."""
+        """Compile the chunk program + packer on dummy frames (slow over the
+        tunnel, cached persistently afterwards)."""
         H, W = self.config.padded_hw
         images = jnp.zeros((self.chunk, 2, H, W), jnp.uint8)
         fids = jnp.arange(self.chunk, dtype=jnp.int32)
@@ -91,25 +138,11 @@ class ChunkedSlam:
         carry, recs = self.chunk_step(
             self.carry, images, fids, active, jax.random.PRNGKey(0)
         )
-        jax.block_until_ready(recs)
+        jax.block_until_ready(self._pack(recs))
 
     # ------------------------------------------------------------------
-    def process(self, frame_id: int, left: np.ndarray, right: np.ndarray):
-        """Feed one frame; dispatches when a full chunk accumulates."""
-        if self.lost:
-            return
-        self.pending.append((frame_id, left, right))
-        if len(self.pending) >= self.chunk:
-            self._dispatch(self.pending[: self.chunk])
-            self.pending = self.pending[self.chunk:]
-            # keep exactly one chunk in flight: collect the previous one
-            while len(self.inflight) > 1:
-                self._collect()
-
-    # ------------------------------------------------------------------
-    def _dispatch(self, frames):
-        """Upload one chunk. Short lists are padded with inactive slots, so
-        the compiled program is the same for every dispatch."""
+    def _upload_job(self, frames):
+        """Worker-thread task: assemble + device_put one chunk's arrays."""
         H, W = self.config.padded_hw
         B = self.chunk
         stacked = np.zeros((B, 2, H, W), np.uint8)
@@ -124,44 +157,85 @@ class ChunkedSlam:
         # padding slots reuse the last real frame id (any value works: the
         # carry passes through and the record is dropped)
         fids[len(frames):] = fids[max(len(frames) - 1, 0)]
-        carry, recs = self.chunk_step(
-            self.carry,
-            jnp.asarray(stacked),
-            jnp.asarray(fids),
-            jnp.asarray(active),
-            self.key,
+        return (
+            jax.device_put(stacked),
+            jax.device_put(fids),
+            jax.device_put(active),
         )
-        self.carry = carry
-        self.inflight.append(recs)
 
     # ------------------------------------------------------------------
-    def _collect(self):
-        recs = jax.device_get(self.inflight.popleft())
-        B = len(recs.frame_id)
-        for i in range(B):
-            if not bool(recs.active[i]):
+    def process(self, frame_id: int, left: np.ndarray, right: np.ndarray):
+        """Feed one frame; uploads and fetches ride background threads."""
+        if self.lost:
+            return
+        self.pending.append((frame_id, left, right))
+        if len(self.pending) >= self.chunk:
+            self._uploads.append(
+                self._pool.submit(self._upload_job, self.pending[: self.chunk])
+            )
+            self.pending = self.pending[self.chunk:]
+        self._pump()
+
+    # ------------------------------------------------------------------
+    def _pump(self, drain: bool = False):
+        """Dispatch ready uploads in order; harvest finished fetches.
+        Backpressure: never more than `prefetch` chunks between dispatch and
+        collection."""
+        import time as _time
+
+        while self._uploads and (
+            drain
+            or self._uploads[0].done()
+            or len(self._uploads) > self._prefetch
+        ):
+            t0 = _time.perf_counter()
+            images, fids, active = self._uploads.popleft().result()
+            t1 = _time.perf_counter()
+            self.timing["upload_wait"] += t1 - t0
+            carry, recs = self.chunk_step(
+                self.carry, images, fids, active, self.key
+            )
+            self.carry = carry
+            packed = self._pack(recs)
+            t2 = _time.perf_counter()
+            self.timing["dispatch"] += t2 - t1
+            self._fetches.append(self._pool.submit(jax.device_get, packed))
+        while self._fetches and (
+            drain
+            or self._fetches[0].done()
+            or len(self._fetches) > self._prefetch
+        ):
+            t0 = _time.perf_counter()
+            rows = self._fetches.popleft().result()
+            self.timing["fetch_wait"] += _time.perf_counter() - t0
+            self._consume(rows)
+
+    # ------------------------------------------------------------------
+    def _consume(self, packed: np.ndarray):
+        for row in packed:
+            if row[0] < 0.5:          # active
                 continue
-            fid = int(recs.frame_id[i])
-            if bool(recs.lost[i]):
+            fid = int(row[1])
+            lost = row[3] > 0.5
+            tracked = row[2] > 0.5
+            if lost:
                 self.lost = True
             rec = dict(
                 frame_id=fid,
-                state="lost" if bool(recs.lost[i]) else (
-                    "tracked" if bool(recs.tracked[i]) else "rejected"
-                ),
-                keyframe=bool(recs.is_keyframe[i]),
-                n_matches=int(recs.n_matches[i]),
-                n_inliers=int(recs.n_inliers[i]),
-                n_new_landmarks=int(recs.n_new[i]),
-                twist=float(recs.twist[i]),
-                ba_cost=float(recs.ba_cost[i]) if bool(recs.ba_ran[i]) else None,
+                state="lost" if lost else ("tracked" if tracked else "rejected"),
+                keyframe=bool(row[4] > 0.5),
+                n_matches=int(row[5]),
+                n_inliers=int(row[6]),
+                n_new_landmarks=int(row[7]),
+                twist=float(row[8]),
+                ba_cost=float(row[11]) if row[10] > 0.5 else None,
             )
             self.stats.append(rec)
-            if bool(recs.tracked[i]):
-                self.estimates[fid] = np.asarray(recs.T_c_w[i])
-            if bool(recs.evict_valid[i]):
-                efid = int(recs.evict_frame_id[i])
-                eT = np.asarray(recs.evict_T[i])
+            if tracked:
+                self.estimates[fid] = row[14:30].reshape(4, 4).copy()
+            if row[12] > 0.5:         # evict_valid
+                efid = int(row[13])
+                eT = row[30:46].reshape(4, 4).copy()
                 self._evictions.append((efid, eT))
                 self.estimates[efid] = eT
                 if self.writer is not None:
@@ -170,12 +244,13 @@ class ChunkedSlam:
     # ------------------------------------------------------------------
     def flush(self):
         """Dispatch any buffered partial chunk and drain every in-flight
-        result, leaving the carry current through the last fed frame."""
+        upload/fetch, leaving the carry current through the last fed frame."""
         if self.pending and not self.lost:
-            self._dispatch(self.pending)
+            self._uploads.append(
+                self._pool.submit(self._upload_job, self.pending)
+            )
             self.pending = []
-        while self.inflight:
-            self._collect()
+        self._pump(drain=True)
 
     # ------------------------------------------------------------------
     def finish(self):

@@ -61,6 +61,10 @@ class FrontendConfig:
     # Dispatch FAST+NMS to the fused Pallas kernel on TPU (bit-identical to
     # ops/fast.py; see ops/pallas/fast_kernel.py). XLA path used on CPU.
     pallas_fast: bool = True
+    # Dispatch the stereo ZNCC sweep to the fused per-keypoint DMA kernel on
+    # TPU (ops/pallas/stereo_kernel.py) — the XLA path's strip gathers alone
+    # cost ~4 ms/frame at N=2048 (tools/profile_hotspots.py). XLA on CPU.
+    pallas_stereo: bool = True
     # Upright vs orientation-steered BRIEF. The reference steers
     # (cv::ORB rBRIEF); on roll-free rigs (KITTI) the centroid angle is
     # noise on weak corners and steering HALVES the true-match rate while

@@ -1,4 +1,9 @@
-"""Sub-stage device-time breakdown of the fused frame step on real TPU.
+"""Sub-stage timing of the fused frame step (chained dispatch).
+
+CAVEAT: chained dispatches with jit-captured constants pay the ~26 ms
+tunnel round trip PER CALL on the axon backend, so these numbers are
+dominated by dispatch latency, not device time. Use tools/profile_device.py
+(device-side fori_loop repetition, two loop lengths) for true device costs.
 
 Times, via chained dispatch (tunnel-safe): frontend extract, matcher,
 PnP (hypothesis fit / scoring / refine split), insert_keyframe-equivalent
@@ -57,7 +62,7 @@ def main():
     @jax.jit
     def ext_step(x):
         f = extract(left + x, right)
-        return jnp.sum(f.yx.astype(jnp.float32)) * 0.0
+        return jnp.sum(f.yx.astype(jnp.float32)) * 1e-20
 
     chain_time(ext_step, jnp.zeros(()), lambda x: x, n=10, label="extract")
 

@@ -21,8 +21,7 @@ def run(cfg, frames, chunk=8, label=""):
     # feed one warm chunk first
     for f, l, r in frames[:chunk]:
         slam.process(f, l, r)
-    while slam.inflight:
-        slam._collect()
+    slam.flush()
     t0 = time.perf_counter()
     for f, l, r in frames[chunk:]:
         slam.process(f, l, r)
