@@ -58,8 +58,8 @@ def run_sequence(cfg, world, frames, chunk):
 
 def main():
     chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    warmup_chunks = 2
-    n_chunks = 8
+    warmup_chunks = 3
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "24"))
     n_frames = chunk * (warmup_chunks + n_chunks)
     hard_frames = int(os.environ.get("BENCH_HARD_FRAMES", "300"))
 
