@@ -72,11 +72,20 @@ def _use_pallas_fast(config: Config) -> bool:
 def _stereo_impl(config: Config) -> str:
     """The Pallas per-keypoint DMA kernel wins ~8x over the XLA strip
     gathers on TPU (tools/profile_hotspots.py); XLA is the ground truth and
-    the CPU path."""
-    n = config.frontend.max_raw_keypoints
-    if config.frontend.pallas_stereo and _on_tpu() and n % 8 == 0:
-        return "pallas"
-    return "xla"
+    the CPU path. Configs outside the kernel's tile envelope (large
+    max_disparity or stereo_patch — see the asserts in
+    ops/pallas/stereo_kernel.zncc_sweep) fall back to XLA rather than trip
+    the kernel guards."""
+    fe = config.frontend
+    if not (fe.pallas_stereo and _on_tpu() and fe.max_raw_keypoints % 8 == 0):
+        return "xla"
+    from stereo_visual_slam_tpu.ops.pallas import stereo_kernel as sk
+
+    fits = (
+        128 + fe.max_disparity + fe.stereo_patch - 2 <= sk.TILE_W
+        and fe.stereo_patch <= sk.TILE_H - 13
+    )
+    return "pallas" if fits else "xla"
 
 
 def _level_geometry(config: Config):
@@ -209,6 +218,160 @@ def make_extractor(config: Config):
         )
 
     return extract
+
+
+def make_batch_extractor(config: Config):
+    """Batched extractor: (B, 2, H, W) images -> FrameFeatures with a leading
+    B axis — bit-identical per frame to `make_extractor` (tests assert it).
+
+    This is the production front-end of the chunked SLAM core: extraction is
+    per-frame independent, so the chunk's B frames run as ONE batched program
+    *outside* the sequential tracking scan (models/slam_core.make_chunk_step)
+    instead of B serialized copies inside it. Besides utilization, this is
+    the data-parallel axis over a mesh (each device extracts B/n frames).
+
+    Batching strategy per op (keeping per-frame bit-exactness):
+      * FAST + NMS and the stereo ZNCC sweep run on the B frames STACKED
+        vertically into one (B*H, W) image — the Pallas kernels need no
+        batch rule, and scores within `border_margin` of frame seams (the
+        only pixels whose neighborhoods cross frames) are masked off before
+        top-k exactly as image borders already are.
+      * describe/ANMS/resize are vmapped (batched dot_generals; a stacked
+        one-hot gather would cost B x more FLOPs than the vmapped batch).
+    """
+    fe = config.frontend
+    cam = config.camera
+    vh, vw = config.image_hw
+    levels = _level_geometry(config)
+    border = fe.border_margin
+    use_pallas = _use_pallas_fast(config)
+    if use_pallas:
+        from stereo_visual_slam_tpu.ops.pallas import fast_kernel
+
+        score_map = functools.partial(
+            fast_kernel.fast_nms_score_map, threshold=fe.fast_threshold
+        )
+    else:
+        def score_map(img):
+            return fast_ops.nms_3x3(
+                fast_ops.fast_score_map(img, fe.fast_threshold)
+            )
+
+    def describe_one(blurred, yx):
+        return orb_ops.describe(
+            blurred, yx, bits=fe.descriptor_bits, patch=fe.patch_size,
+            steer=fe.steer_descriptor,
+        )
+
+    @jax.jit
+    def batch_extract(images: jnp.ndarray) -> FrameFeatures:
+        """images: (B, 2, H, W) uint8/f32 padded stereo pairs."""
+        B = images.shape[0]
+        left = images[:, 0].astype(jnp.float32)    # (B, H, W)
+        right = images[:, 1].astype(jnp.float32)
+
+        yx_parts, yxf_parts, score_parts, scale_parts = [], [], [], []
+        packed_parts, signs_parts = [], []
+        for i, (s, (h_i, w_i), (H_i, W_i), budget) in enumerate(levels):
+            if i == 0:
+                imgs = left
+            else:
+                imgs = jax.vmap(
+                    lambda im: im_ops.pad_to(
+                        jax.image.resize(
+                            im[:vh, :vw], (h_i, w_i), method="linear"
+                        ),
+                        (H_i, W_i),
+                    )
+                )(left)
+            stacked = imgs.reshape(B * H_i, W_i)
+            score = score_map(stacked).reshape(B, H_i, W_i)
+            yy = jax.lax.broadcasted_iota(jnp.int32, (H_i, W_i), 0)
+            xx = jax.lax.broadcasted_iota(jnp.int32, (H_i, W_i), 1)
+            in_border = (
+                (yy >= border) & (yy < h_i - border)
+                & (xx >= border) & (xx < w_i - border)
+            )
+            score = jnp.where(in_border[None], score, 0.0)
+            top_scores, top_idx = jax.lax.top_k(
+                score.reshape(B, H_i * W_i), budget
+            )                                       # (B, budget)
+            yx_i = jnp.stack(
+                [top_idx // W_i, top_idx % W_i], axis=-1
+            ).astype(jnp.int32)                     # (B, budget, 2)
+
+            blurred = im_ops.box_blur(imgs.reshape(B * H_i, W_i), fe.blur_box)
+            blurred = blurred.reshape(B, H_i, W_i)
+            packed_i, signs_i, _theta = jax.vmap(describe_one)(blurred, yx_i)
+
+            yx_full = yx_i.astype(jnp.float32) * s
+            yx_parts.append(jnp.round(yx_full).astype(jnp.int32))
+            yxf_parts.append(yx_full)
+            score_parts.append(top_scores)
+            scale_parts.append(jnp.full((B, budget), s, jnp.float32))
+            packed_parts.append(packed_i)
+            signs_parts.append(signs_i)
+
+        yx_int = jnp.concatenate(yx_parts, axis=1)    # (B, N, 2) full-res int
+        yx_f = jnp.concatenate(yxf_parts, axis=1)
+        score = jnp.concatenate(score_parts, axis=1)
+        scale = jnp.concatenate(scale_parts, axis=1)
+        packed = jnp.concatenate(packed_parts, axis=1)
+        signs = jnp.concatenate(signs_parts, axis=1)
+
+        valid = score > 0.0
+        valid = valid & (yx_int[..., 0] < vh) & (yx_int[..., 1] < vw)
+        spawn_mask = jax.vmap(
+            lambda y, sc: anms_ops.anms_mask(
+                y, sc, num=fe.n_features, robust_coeff=fe.anms_robust_coeff
+            )
+        )(yx_int, score)
+
+        # one stereo sweep over ALL frames' keypoints on the stacked full-res
+        # pair; frame b's rows are offset by b * H0 in the stacked canvas
+        H0, W0 = left.shape[1], left.shape[2]
+        N = yx_int.shape[1]
+        row_off = (jnp.arange(B, dtype=jnp.int32) * H0)[:, None]
+        yx_st = jnp.stack(
+            [yx_int[..., 0] + row_off, yx_int[..., 1]], axis=-1
+        ).reshape(B * N, 2)
+        st = stereo_ops.match_disparity(
+            left.reshape(B * H0, W0),
+            right.reshape(B * H0, W0),
+            yx_st,
+            valid.reshape(B * N),
+            fx=cam.fx,
+            baseline=cam.baseline,
+            max_disparity=fe.max_disparity,
+            patch=fe.stereo_patch,
+            min_zncc=fe.min_zncc,
+            min_depth=fe.min_depth,
+            max_depth=fe.max_depth,
+            reliable_depth=fe.reliable_depth,
+            impl=_stereo_impl(config),
+        )
+        st = jax.tree.map(lambda a: a.reshape(B, N), st)
+        pts_cam = jax.vmap(
+            lambda y, d: stereo_ops.backproject(
+                y, d, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy
+            )
+        )(yx_f, st.depth)
+        return FrameFeatures(
+            yx=yx_f,
+            score=score,
+            scale=scale,
+            valid=valid,
+            spawn_mask=spawn_mask,
+            signs=signs,
+            packed=packed,
+            disparity=st.disparity,
+            depth=st.depth,
+            depth_valid=st.valid,
+            reliable=st.reliable,
+            pts_cam=pts_cam,
+        )
+
+    return batch_extract
 
 
 @functools.partial(jax.jit, static_argnames=("hw",))

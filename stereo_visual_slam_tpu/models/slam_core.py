@@ -129,19 +129,23 @@ def _allocate_rows(
     return rows.astype(jnp.int32), jnp.sum(served.astype(jnp.int32))
 
 
-def make_slam_step(config: Config, extract=None, mesh=None):
-    """Build the fused per-frame device function:
+def make_feats_step(config: Config, mesh=None):
+    """Build the per-frame tracking + mapping + BA device function over
+    PRECOMPUTED features:
 
-        (carry, image(2,H,W)u8, frame_id, key) -> (carry', FrameRecord)
+        (carry, feats: FrameFeatures, frame_id, key) -> (carry', FrameRecord)
 
-    Mirrors one iteration of the reference main loop (run_vslam.cpp:40-82):
-    VO::pipeline + conditional optimize_map x3 + optimize_pose_only.
+    Mirrors one iteration of the reference main loop (run_vslam.cpp:40-82)
+    minus feature extraction — VO::tracking (visual_odometry.cpp:547-646) +
+    conditional optimize_map x3 + optimize_pose_only. Extraction is
+    per-frame independent and runs batched OUTSIDE the sequential scan
+    (frontend.make_batch_extractor); everything here depends on the carry.
 
     With `mesh`, the per-keyframe BA schedule runs landmark-sharded across
     the mesh devices (ba/schedule.py shard_map path): the landmark arena is
     partitioned, each device reduces its Schur contributions, one psum per
-    LM iteration. The frontend/tracking stay replicated (they are one
-    frame's work); BA is where the window-scaling FLOPs live.
+    LM iteration. Tracking stays replicated (it is one frame's work); BA is
+    where the window-scaling FLOPs live.
     """
     cam = config.camera
     pc = config.pnp
@@ -153,8 +157,6 @@ def make_slam_step(config: Config, extract=None, mesh=None):
     K = jnp.asarray(
         [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], jnp.float32
     )
-    if extract is None:
-        extract = frontend_mod.make_extractor(config)
     track_step, _ = vslam.make_tracker(config)
     run_schedule = ba_schedule.make_ba_schedule(config.ba, mesh=mesh)
 
@@ -287,17 +289,12 @@ def make_slam_step(config: Config, extract=None, mesh=None):
         return tstate2, mstate2, res.cost_full
 
     # ------------------------------------------------------------------ step
-    def slam_frame_step(carry: SlamCarry, image, frame_id, key):
+    def slam_feats_step(carry: SlamCarry, feats, frame_id, key):
         tstate, mstate = carry.tstate, carry.mstate
         is_first = mstate.kf_count == 0
         frame_gap = jnp.maximum(
             (frame_id - carry.last_frame_id).astype(jnp.float32), 1.0
         )
-
-        left = image[0].astype(jnp.float32)
-        right = image[1].astype(jnp.float32)
-        feats = extract(left, right)
-        feats = jax.lax.optimization_barrier(feats)
 
         # constant-velocity prior SCALED BY THE FRAME GAP: after g rejected/
         # dropped frames the expected motion is (T_c_l)^g. The reference is
@@ -341,12 +338,19 @@ def make_slam_step(config: Config, extract=None, mesh=None):
             ts, ms, n_new, evict = insert_keyframe(
                 tstate_in, mstate_in, feats, frame_id
             )
-            ts, ms, cost = jax.lax.cond(
-                ms.kf_count >= Kw,
-                lambda: run_ba(ts, ms),
-                lambda: (ts, ms, jnp.asarray(0.0, jnp.float32)),
-            )
-            return ts, ms, n_new, evict, ms.kf_count >= Kw, cost
+            if config.ba.enable_ba:
+                ts, ms, cost = jax.lax.cond(
+                    ms.kf_count >= Kw,
+                    lambda: run_ba(ts, ms),
+                    lambda: (ts, ms, jnp.asarray(0.0, jnp.float32)),
+                )
+                ba_ran = ms.kf_count >= Kw
+            else:
+                # "Without Optimization" (README.md:92-94): the schedule is
+                # absent from the program; inlier flags stay untouched
+                cost = jnp.asarray(0.0, jnp.float32)
+                ba_ran = jnp.asarray(False)
+            return ts, ms, n_new, evict, ba_ran, cost
 
         def no_keyframe(tstate_in, mstate_in):
             return (
@@ -417,16 +421,47 @@ def make_slam_step(config: Config, extract=None, mesh=None):
         )
         return carry2, record
 
+    return slam_feats_step
+
+
+def make_slam_step(config: Config, extract=None, mesh=None):
+    """Per-frame device function over raw images (extraction included):
+
+        (carry, image(2,H,W)u8, frame_id, key) -> (carry', FrameRecord)
+
+    Composition of the per-frame extractor and `make_feats_step`. The
+    production chunk driver uses the batched extractor + feats scan instead
+    (make_chunk_step); this single-frame form serves profilers, oracles and
+    the compile-check entry point.
+    """
+    if extract is None:
+        extract = frontend_mod.make_extractor(config)
+    feats_step = make_feats_step(config, mesh=mesh)
+
+    def slam_frame_step(carry: SlamCarry, image, frame_id, key):
+        left = image[0].astype(jnp.float32)
+        right = image[1].astype(jnp.float32)
+        feats = extract(left, right)
+        feats = jax.lax.optimization_barrier(feats)
+        return feats_step(carry, feats, frame_id, key)
+
     return slam_frame_step
 
 
 def make_chunk_step(config: Config, extract=None, mesh=None):
-    """lax.scan of the frame step over a chunk: ONE dispatch, ONE fetch for
-    B frames. Host round-trip latency (~24 ms over the TPU tunnel) amortizes
-    to RT/B per frame.
+    """The production chunk program: batched extraction + tracking scan.
+    ONE dispatch, ONE fetch for B frames — host round-trip latency (~25 ms
+    over the TPU tunnel) amortizes to RT/B per frame.
 
         chunk_step(carry, images (B,2,H,W)u8, frame_ids (B,), active (B,)
                    bool, key) -> (carry', FrameRecord batch (B, ...))
+
+    Structure: feature extraction is per-frame independent, so the B frames
+    run through `frontend.make_batch_extractor` as one batched program (on a
+    mesh: data-parallel over devices), and only the sequential part —
+    matching, PnP, map insertion, BA — scans over the precomputed feature
+    tables. Versus extracting inside the scan this halves the scanned
+    program and lets the batch dimension fill the chip.
 
     `active=False` slots are padding (a short final chunk padded to the
     static B): the carry passes through untouched and the record is flagged
@@ -448,14 +483,44 @@ def _cached_chunk_step(config: Config, mesh):
 
 
 def _build_chunk_step(config: Config, extract, mesh):
-    frame_step = make_slam_step(config, extract, mesh=mesh)
+    feats_step = make_feats_step(config, mesh=mesh)
+    if extract is None:
+        batch_extract = frontend_mod.make_batch_extractor(config)
+    else:
+        # custom single-frame extractor (tests/oracles): vmap it
+        def batch_extract(images):
+            return jax.vmap(
+                lambda im: extract(
+                    im[0].astype(jnp.float32), im[1].astype(jnp.float32)
+                )
+            )(images)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P(ba_schedule.LM_AXIS))
+        replicated = NamedSharding(mesh, P())
+    else:
+        batch_sharding = replicated = None
 
     @jax.jit
     def chunk_step(carry: SlamCarry, images, frame_ids, active, key):
+        if batch_sharding is not None and images.shape[0] % mesh.size == 0:
+            # data-parallel extraction: each device owns B/n frames; the
+            # feature tables are gathered back for the sequential scan
+            images = jax.lax.with_sharding_constraint(images, batch_sharding)
+        feats = batch_extract(images)
+        if replicated is not None:
+            feats = jax.tree.map(
+                lambda a: jax.lax.with_sharding_constraint(a, replicated),
+                feats,
+            )
+        feats = jax.lax.optimization_barrier(feats)
+
         def body(c, xs):
-            image, fid, live = xs
+            feat, fid, live = xs
             k = jax.random.fold_in(key, fid)
-            c2, rec = frame_step(c, image, fid, k)
+            c2, rec = feats_step(c, feat, fid, k)
             c2 = jax.tree.map(
                 lambda a, b: jnp.where(
                     live.reshape((1,) * a.ndim) if a.ndim else live, a, b
@@ -466,6 +531,6 @@ def _build_chunk_step(config: Config, extract, mesh):
             rec = rec._replace(active=live)
             return c2, rec
 
-        return jax.lax.scan(body, carry, (images, frame_ids, active))
+        return jax.lax.scan(body, carry, (feats, frame_ids, active))
 
     return chunk_step

@@ -147,7 +147,14 @@ def describe(
     patches = im_ops.gather_patches(img_blurred, yx, patch)   # (N, P, P)
     flat = patches.reshape(N, -1)
 
-    M = jnp.asarray(_steering_matrix(bits, patch))             # (P^2, 30*bits)
+    # Materialize only the columns actually used: the full 30-bin matrix is
+    # a 33 MB constant, and embedding it per describe call bloated the
+    # lowered chunk program to ~0.5 GB of HLO text (minutes of host-side
+    # tracing + remote-compile hashing). The upright path needs bin 0 only.
+    if steer:
+        M = jnp.asarray(_steering_matrix(bits, patch))         # (P^2, 30*bits)
+    else:
+        M = jnp.asarray(_steering_matrix(bits, patch)[:, :bits])
     if steer:
         theta = orientations(patches)
         bin_f = jnp.round(theta * (_N_ANGLE_BINS / (2.0 * jnp.pi)))
@@ -168,7 +175,7 @@ def describe(
     else:
         sel = jnp.dot(
             flat.astype(jnp.bfloat16),
-            M[:, :bits].astype(jnp.bfloat16),                  # bin-0 columns
+            M.astype(jnp.bfloat16),                            # bin-0 columns
             preferred_element_type=jnp.float32,
         )
         theta_q = jnp.zeros((N,), jnp.float32)

@@ -144,6 +144,11 @@ def zncc_sweep(
     r = p // 2
     D = max_disparity
     assert D <= OUT_W, (D, OUT_W)
+    # corr/S1/S2 use circular rolls over the 256-lane tile: the worst-case
+    # read column is rc (<= 127) + D + p - 2 and must not wrap. Likewise
+    # TILE_H fits the patch band only while oy (<= 13) + p <= TILE_H.
+    assert 128 + D + p - 2 <= TILE_W, (D, p, TILE_W)
+    assert p <= TILE_H - 13, (p, TILE_H)
     H, W = left.shape
     N = yx.shape[0]
     assert N % G == 0, (N, G)
@@ -178,8 +183,8 @@ def zncc_sweep(
         num_scalar_prefetch=6,
         grid=(N // G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (G, OUT_W), lambda i, *_: (i, 0), memory_space=pltpu.VMEM

@@ -253,9 +253,17 @@ class ChunkedSlam:
         self._pump(drain=True)
 
     # ------------------------------------------------------------------
+    def close(self):
+        """Drain in-flight work and stop the transfer worker threads. The
+        instance stays usable read-only (carry, estimates, stats); feeding
+        more frames after close() is an error."""
+        self.flush()
+        self._pool.shutdown(wait=True)
+
     def finish(self):
-        """Flush and write the remaining window poses
-        (write_remaining_pose, map.cpp:198-204)."""
+        """Flush, write the remaining window poses
+        (write_remaining_pose, map.cpp:198-204), and release the transfer
+        thread pool."""
         self.flush()
         kf_ids, kf_T, count = jax.device_get(
             (
@@ -272,6 +280,7 @@ class ChunkedSlam:
             self.estimates[fid] = np.asarray(kf_T[j])
             if self.writer is not None:
                 self.writer.write(fid, kf_T[j])
+        self._pool.shutdown(wait=True)
 
     # ------------------------------------------------------------------
     def landmarks(self) -> np.ndarray:

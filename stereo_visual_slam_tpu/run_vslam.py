@@ -187,11 +187,7 @@ def _run_chunked(args, cfg, source, n_frames, mesh, recorder):
     if args.no_ba:
         import dataclasses
 
-        cfg = cfg.replace(
-            ba=dataclasses.replace(
-                cfg.ba, classify_passes=0, full_iters=0, pose_only_iters=0
-            )
-        )
+        cfg = cfg.replace(ba=dataclasses.replace(cfg.ba, enable_ba=False))
     slam = ChunkedSlam(
         cfg, chunk=args.chunk, pose_path=args.pose_out, mesh=mesh
     )

@@ -141,6 +141,12 @@ class BAConfig:
     optimization.cpp:154,205; adaptive doubling loop optimization.cpp:224-252;
     schedule from run_vslam.cpp:58-71."""
 
+    # Master switch for the whole per-keyframe schedule. False reproduces
+    # the reference's "Without Optimization" row (README.md:92-94): no LM
+    # passes, no adaptive chi2 classification, landmark inlier flags
+    # untouched. (Zeroing the iteration counts instead would still run the
+    # classification and flip is_inlier — not what that row means.)
+    enable_ba: bool = True
     chi2_threshold: float = 5.991
     huber_delta: float = 5.991         # g2o rk->setDelta(5.991): kernel on ||r||
     adaptive_rounds: int = 5

@@ -48,6 +48,37 @@ def test_chunked_end_to_end(world, tmp_path):
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
 
 
+def test_no_ba_is_truly_optimization_free(world):
+    """enable_ba=False must reproduce the reference's "Without Optimization"
+    semantics (README.md:92-94): the schedule never runs — no ba_cost, and
+    crucially NO adaptive-chi2 writeback, so landmark is_inlier flags keep
+    their spawn value (True) forever."""
+    import dataclasses
+
+    import jax
+
+    cfg = world.config.replace(
+        ba=dataclasses.replace(world.config.ba, enable_ba=False),
+        keyframe=dataclasses.replace(world.config.keyframe, window_size=4),
+    )
+    slam = ChunkedSlam(cfg, chunk=4)
+    for f, left, right in synthetic.frames(world):
+        if f >= 14:
+            break
+        slam.process(f, left, right)
+    slam.finish()
+    assert not slam.lost
+    kf_count = sum(1 for s in slam.stats if s["keyframe"])
+    assert kf_count >= cfg.keyframe.window_size  # BA *would* have run
+    assert all(s["ba_cost"] is None for s in slam.stats)
+
+    m = jax.device_get(slam.carry.mstate)
+    alive = m.obs_mask.max(axis=1) > 0
+    assert alive.any()
+    # spawn sets inlier=True; only the (skipped) BA verdict ever clears it
+    assert m.inlier[alive].all()
+
+
 def test_chunked_map_invariants(world):
     slam = ChunkedSlam(world.config, chunk=4)
     for f, left, right in synthetic.frames(world):
