@@ -10,12 +10,15 @@ SAME keyframe mix — 0.04 s per tracking-only frame and 0.18 s per keyframe
 (README.md:90) — so a pipeline that needs fewer keyframes isn't penalized.
 vs_baseline > 1 means faster than the reference end-to-end.
 
-Accuracy is reported on stderr for BOTH synthetic profiles:
+Accuracy is reported on stderr for ALL synthetic profiles:
   * default — the clean corridor world (timed run);
   * hard    — sensor noise + exposure drift, moving occluders, low-texture
     stretch, perspective sprite scaling, sharp turn (BENCH_HARD_FRAMES
     frames, default 300; 0 skips). Gate: KITTI trans % <= the reference's
-    4.17 % seq-00 result (README.md:92-95).
+    4.17 % seq-00 result (README.md:92-95);
+  * highway — the seq-01 analog: ~2.7 m/frame, sparse roadside structure
+    (BENCH_HIGHWAY_FRAMES frames, default 200; 0 skips). Gate: no Lost and
+    trans <= 4.17 % (README.md:97: seq 01 "completed without lost").
 
 Runs on whatever platform jax selects (the driver provides the TPU); the
 workload is a synthetic KITTI-geometry sequence (1241 x 376 stereo,
@@ -127,18 +130,25 @@ def main():
         file=sys.stderr,
     )
 
-    if hard_frames > 0:
-        world_h = synthetic.make_world(
-            cfg, n_frames=hard_frames, n_points=8000, seed=1, profile="hard"
+    for profile, env, default_n, seed in (
+        ("hard", "BENCH_HARD_FRAMES", hard_frames, 1),
+        ("highway", "BENCH_HIGHWAY_FRAMES",
+         int(os.environ.get("BENCH_HIGHWAY_FRAMES", "200")), 5),
+    ):
+        n_prof = default_n
+        if n_prof <= 0:
+            continue
+        world_p = synthetic.make_world(
+            cfg, n_frames=n_prof, n_points=8000, seed=seed, profile=profile
         )
-        frames_h = [(f, l, r) for f, l, r in synthetic.frames(world_h)]
-        _, acc = run_sequence(cfg, world_h, frames_h, chunk)
+        frames_p = [(f, l, r) for f, l, r in synthetic.frames(world_p)]
+        _, acc = run_sequence(cfg, world_p, frames_p, chunk)
         verdict = (
             "PASS" if (not acc["lost"] and acc["trans"] <= 4.17) else "FAIL"
         )
         print(
-            f"# hard profile ({hard_frames} frames): tracked "
-            f"{acc['tracked']}/{hard_frames} ate={acc['ate']:.3f}m "
+            f"# {profile} profile ({n_prof} frames): tracked "
+            f"{acc['tracked']}/{n_prof} ate={acc['ate']:.3f}m "
             f"trans={acc['trans']:.2f}% rot={acc['rot']:.4f}deg/m "
             f"lost={acc['lost']} | gate trans<=4.17%: {verdict}",
             file=sys.stderr,

@@ -85,10 +85,27 @@ def make_world(
     near-field occluder sprites (violating rigid-world PnP), a low-texture
     stretch (most landmarks vanish for ~12 % of the path), and one sharp
     ~80 degree turn at reduced speed.
+
+    profile="highway" is the KITTI seq-01 analog (the reference's other
+    robustness claim, README.md:97): ~2.7 m/frame forward speed (KITTI 01
+    averages ~2.5-2.8 m/frame at 10 Hz), SPARSE roadside structure (about
+    half the per-metre feature density of the default corridor, mostly
+    ground-plane texture with thin barrier lines), perspective sprite
+    scaling (fast approach = fast appearance growth), gentle lane-change
+    curvature only, and mild sensor noise. Stresses large-baseline
+    matching, per-frame disparity change, and the keyframe rule under fast
+    forward motion.
     """
     hard = profile == "hard"
+    highway = profile == "highway"
+    if highway:
+        if speed == 1.0:
+            speed = 2.7
+        if yaw_rate == 0.004:
+            yaw_rate = 0.0015
     if scaled_sprites is None:
-        scaled_sprites = hard  # perspective scale change is part of "hard"
+        # perspective scale change is part of "hard" and "highway"
+        scaled_sprites = hard or highway
     rng = np.random.default_rng(seed)
 
     # Trajectory: integrate heading. The hard profile injects a sharp-turn
@@ -119,22 +136,32 @@ def make_world(
     # stereo windows straddling sprite boundaries stay depth-consistent, as
     # in real scenes. The sky is left dark and featureless.
     if not hard:
-        n_ground = n_points // 2
+        # highway: sparse roadside — mostly ground texture, LOW barriers
+        # (guardrail height) instead of tall walls, spread over a longer
+        # forward range so the fast camera always sees structure ahead
+        n_ground = int(n_points * 0.65) if highway else n_points // 2
         n_wall = (n_points - n_ground) // 2
-        z = rng.uniform(2.0, path_len + 80.0, n_points)
+        z_reach = 160.0 if highway else 80.0
+        z = rng.uniform(2.0, path_len + z_reach, n_points)
         x = np.empty(n_points)
         y = np.empty(n_points)
         # ground: y = +1.65 (below camera), x spread across the road
-        x[:n_ground] = rng.uniform(-14.0, 14.0, n_ground)
+        road_half = 16.0 if highway else 14.0
+        x[:n_ground] = rng.uniform(-road_half, road_half, n_ground)
         y[:n_ground] = 1.65 + rng.uniform(-0.05, 0.05, n_ground)
-        # left/right walls at x = -+12, heights from road up to 5.5 m
-        x[n_ground : n_ground + n_wall] = -12.0 + rng.uniform(-0.3, 0.3, n_wall)
-        y[n_ground : n_ground + n_wall] = rng.uniform(-4.0, 1.65, n_wall)
-        x[n_ground + n_wall :] = 12.0 + rng.uniform(
+        # left/right walls at x = -+12 (default, up to 5.5 m tall) or
+        # -+14 guardrails (highway, <= 1.3 m tall)
+        wall_x = 14.0 if highway else 12.0
+        wall_top = 0.35 if highway else -4.0
+        x[n_ground : n_ground + n_wall] = -wall_x + rng.uniform(
+            -0.3, 0.3, n_wall
+        )
+        y[n_ground : n_ground + n_wall] = rng.uniform(wall_top, 1.65, n_wall)
+        x[n_ground + n_wall :] = wall_x + rng.uniform(
             -0.3, 0.3, len(x) - n_ground - n_wall
         )
         y[n_ground + n_wall :] = rng.uniform(
-            -4.0, 1.65, len(x) - n_ground - n_wall
+            wall_top, 1.65, len(x) - n_ground - n_wall
         )
         pts = np.stack([x, y, z], axis=-1)
         # Bend the corridor along the trajectory: shift x by the path's x at z.
@@ -218,6 +245,10 @@ def make_world(
 
     occ_pos = occ_patches = None
     noise_sigma = gain_amp = bias_amp = 0.0
+    if highway:
+        # mild sensor noise + slight exposure wander; the stressor here is
+        # the motion itself, not the photometrics
+        noise_sigma, gain_amp, bias_amp = 2.0, 0.05, 2.0
     if hard:
         # Independently moving near-field occluders ("oncoming traffic"):
         # each spawns ahead of the camera at some frame and drives back

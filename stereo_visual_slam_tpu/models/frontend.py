@@ -293,12 +293,9 @@ def make_batch_extractor(config: Config):
                 & (xx >= border) & (xx < w_i - border)
             )
             score = jnp.where(in_border[None], score, 0.0)
-            top_scores, top_idx = jax.lax.top_k(
-                score.reshape(B, H_i * W_i), budget
-            )                                       # (B, budget)
-            yx_i = jnp.stack(
-                [top_idx // W_i, top_idx % W_i], axis=-1
-            ).astype(jnp.int32)                     # (B, budget, 2)
+            # lossless 2x2-pooled top_k (ops/fast.nms_topk) — same helper as
+            # the single-frame paths, so batch == single stays bit-exact
+            top_scores, yx_i = fast_ops.nms_topk(score, budget)
 
             blurred = im_ops.box_blur(imgs.reshape(B * H_i, W_i), fe.blur_box)
             blurred = blurred.reshape(B, H_i, W_i)

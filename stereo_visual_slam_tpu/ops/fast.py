@@ -86,6 +86,49 @@ def nms_3x3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(keep, score, 0.0)
 
 
+def nms_topk(
+    score: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k of an NMS'd score map via a LOSSLESS 2x2 max-pool.
+
+    After 3x3 NMS with raster-order tie-breaking, any 2x2 block holds at
+    most one nonzero score (two surviving corners can never be 8-adjacent),
+    so max-pooling 2x2 and running top_k on the 4x-smaller map selects
+    exactly the same corners — and the top_k over the full-resolution map is
+    the detection bottleneck on TPU (tools/profile_production.py: 3.45 of
+    6.06 ms/frame extraction). Ordering among EQUAL scores follows pooled-
+    block raster order instead of pixel raster order; all detect paths use
+    this helper, so every path agrees bit-for-bit.
+
+    score: (..., H, W), H and W even. Returns (scores (..., k),
+    yx (..., k, 2) int32). Zero-score rows are padding (callers mask on
+    score > 0); their coordinates are deterministic but meaningless.
+    """
+    *lead, H, W = score.shape
+    if H % 2 or W % 2:  # odd shapes: plain top_k (tests on tiny images)
+        flat = score.reshape(*lead, H * W)
+        top_scores, top_idx = jax.lax.top_k(flat, k)
+        yx = jnp.stack([top_idx // W, top_idx % W], axis=-1)
+        return top_scores, yx.astype(jnp.int32)
+    H2, W2 = H // 2, W // 2
+    s4 = score.reshape(*lead, H2, 2, W2, 2)
+    a = s4[..., 0, :, 0]
+    b = s4[..., 0, :, 1]
+    c = s4[..., 1, :, 0]
+    d = s4[..., 1, :, 1]
+    pooled = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+    off = jnp.where(
+        a == pooled,
+        0,
+        jnp.where(b == pooled, 1, jnp.where(c == pooled, 2, 3)),
+    ).astype(jnp.int32)
+    top_scores, top_idx = jax.lax.top_k(pooled.reshape(*lead, H2 * W2), k)
+    sel = jnp.take_along_axis(off.reshape(*lead, H2 * W2), top_idx, axis=-1)
+    y = 2 * (top_idx // W2) + sel // 2
+    x = 2 * (top_idx % W2) + (sel & 1)
+    return top_scores, jnp.stack([y, x], axis=-1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("max_kp", "threshold", "border"))
 def detect(
     img: jnp.ndarray,
@@ -112,7 +155,5 @@ def detect(
         (yy >= border) & (yy < vh - border) & (xx >= border) & (xx < vw - border)
     )
     score = jnp.where(in_border, score, 0.0)
-    flat = score.reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(flat, max_kp)
-    yx = jnp.stack([top_idx // W, top_idx % W], axis=-1).astype(jnp.int32)
+    top_scores, yx = nms_topk(score, max_kp)
     return yx, top_scores

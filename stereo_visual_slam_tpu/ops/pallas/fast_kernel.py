@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from stereo_visual_slam_tpu.ops.fast import CIRCLE_OFFSETS
+from stereo_visual_slam_tpu.ops.fast import CIRCLE_OFFSETS, nms_topk
 
 _HALO = 4  # 3 px circle radius + 1 px NMS neighborhood
 
@@ -139,6 +139,5 @@ def detect(
         (yy >= border) & (yy < vh - border) & (xx >= border) & (xx < vw - border)
     )
     score = jnp.where(in_border, score, 0.0)
-    top_scores, top_idx = jax.lax.top_k(score.reshape(-1), max_kp)
-    yx = jnp.stack([top_idx // W, top_idx % W], axis=-1).astype(jnp.int32)
+    top_scores, yx = nms_topk(score, max_kp)
     return yx, top_scores

@@ -1,0 +1,59 @@
+"""Long (>=100 frame) end-to-end run on CPU with a KITTI-metric assertion —
+the CI-scale slice of the reference's 4,541-frame seq-00 workload
+(run_vslam.cpp:40). Long enough that the sliding window reaches steady
+state and eviction churn runs for dozens of keyframes (the 14-45 frame
+tests barely enter it)."""
+
+import numpy as np
+import pytest
+
+from stereo_visual_slam_tpu.data import synthetic
+from stereo_visual_slam_tpu.pipeline import trajectory as traj_mod
+from stereo_visual_slam_tpu.pipeline.chunked import ChunkedSlam
+from stereo_visual_slam_tpu.utils.config import Config
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def run():
+    cfg = Config()
+    world = synthetic.make_world(cfg, n_frames=N, n_points=5500, seed=11)
+    slam = ChunkedSlam(cfg, chunk=8)
+    for f, left, right in synthetic.frames(world):
+        slam.process(f, left, right)
+        if slam.lost:
+            break
+    slam.finish()
+    return world, slam
+
+
+def test_long_run_tracks(run):
+    world, slam = run
+    assert not slam.lost
+    n_tracked = sum(1 for s in slam.stats if s["state"] == "tracked")
+    assert n_tracked >= N - 2, n_tracked
+
+
+def test_long_run_kitti_metric(run):
+    world, slam = run
+    fids = sorted(slam.estimates)
+    assert len(fids) >= N - 2
+    est = np.stack([slam.estimates[f] for f in fids])
+    gt = world.poses_T_c_w[fids]
+    t_err, r_err = traj_mod.kitti_errors(est, gt)
+    # the reference's with-optimization seq-00 headline (README.md:92-95)
+    assert t_err <= 4.17, f"trans {t_err}%"
+    assert r_err <= 1.37, f"rot {r_err} deg/m"
+
+
+def test_long_run_eviction_churn(run):
+    world, slam = run
+    # steady-state window: evictions streamed well beyond the window size
+    n_kf = sum(1 for s in slam.stats if s["keyframe"])
+    Kw = world.config.keyframe.window_size
+    assert n_kf > 2 * Kw, f"only {n_kf} keyframes - no steady-state churn"
+    assert len(slam._evictions) >= n_kf - Kw
+    # arena stayed bounded
+    live = int(slam.map.alive.sum())
+    assert live < world.config.ba.max_landmarks

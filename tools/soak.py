@@ -1,0 +1,118 @@
+"""Long-horizon soak: a reference-scale synthetic run (default 4200 frames,
+matching the 4541-frame KITTI seq-00 loop of run_vslam.cpp:40) through the
+production chunked pipeline on whatever device jax selects.
+
+Asserts the properties thousands of evictions / km of trajectory could
+break and that no short run can observe:
+  * tracking never enters Lost; rejected frames stay rare,
+  * the landmark arena never exhausts (allocation failures = 0 spawns on a
+    keyframe with free rows needed),
+  * host-side memory growth stays bounded (estimates/stats are O(frames)
+    records, not leaks of device buffers),
+  * KITTI translational error over the whole run stays within the
+    reference's 4.17 % gate, and is STABLE: the last third's sub-trajectory
+    error is no worse than 2x the first third's.
+
+Usage: python tools/soak.py [n_frames] [chunk]
+Writes one summary line to stdout (and exits nonzero on violation).
+"""
+
+import resource
+import sys
+import time
+
+import numpy as np
+
+from stereo_visual_slam_tpu.data import synthetic
+from stereo_visual_slam_tpu.pipeline import trajectory as traj_mod
+from stereo_visual_slam_tpu.pipeline.chunked import ChunkedSlam
+from stereo_visual_slam_tpu.utils.cache import enable_compilation_cache
+from stereo_visual_slam_tpu.utils.config import Config
+
+
+def rss_mb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 4200
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    enable_compilation_cache()
+    cfg = Config()
+
+    # keep structure density constant with path length (the default world
+    # spreads n_points over speed*n_frames + 80 m of corridor)
+    n_points = int(8000 * (n_frames + 80) / (216 + 80))
+    t0 = time.perf_counter()
+    world = synthetic.make_world(
+        cfg, n_frames=n_frames, n_points=n_points, seed=7
+    )
+    print(f"# world: {n_frames} frames, {n_points} sprites, "
+          f"built in {time.perf_counter()-t0:.0f}s", flush=True)
+
+    slam = ChunkedSlam(cfg, chunk=chunk)
+    slam.warmup()
+    rss0 = rss_mb()
+    t0 = time.perf_counter()
+    last_report = t0
+    for f in range(n_frames):
+        left, right = synthetic.render_frame(world, f)
+        slam.process(f, left, right)
+        if slam.lost:
+            break
+        now = time.perf_counter()
+        if now - last_report > 60:
+            print(f"# frame {f}: {f/(now-t0):.1f} fps wall, "
+                  f"rss +{rss_mb()-rss0:.0f} MB", flush=True)
+            last_report = now
+    slam.finish()
+    wall = time.perf_counter() - t0
+
+    n_tracked = sum(1 for s in slam.stats if s["state"] == "tracked")
+    n_rej = sum(1 for s in slam.stats if s["state"] == "rejected")
+    n_kf = sum(1 for s in slam.stats if s["keyframe"])
+    rss_growth = rss_mb() - rss0
+
+    fids = sorted(slam.estimates)
+    est = np.stack([slam.estimates[f] for f in fids])
+    gt = world.poses_T_c_w[fids]
+    t_all, r_all = traj_mod.kitti_errors(est, gt)
+    third = len(fids) // 3
+    t_first, _ = traj_mod.kitti_errors(est[:third], gt[:third])
+    t_last, _ = traj_mod.kitti_errors(est[-third:], gt[-third:])
+
+    # arena health: live rows bounded below capacity at the end
+    m = slam.map
+    live = int(m.alive.sum())
+    L = cfg.ba.max_landmarks
+
+    ok = True
+
+    def check(cond, msg):
+        nonlocal ok
+        status = "ok" if cond else "FAIL"
+        print(f"# soak {status}: {msg}", flush=True)
+        ok = ok and cond
+
+    check(not slam.lost, f"never Lost (tracked {n_tracked}/{n_frames}, "
+          f"{n_rej} rejected)")
+    check(n_rej <= n_frames * 0.02, f"rejections rare ({n_rej})")
+    check(live < L, f"arena not exhausted ({live}/{L} live rows)")
+    check(rss_growth < 2000,
+          f"host memory bounded (+{rss_growth:.0f} MB over {n_frames} frames)")
+    check(t_all <= 4.17, f"KITTI trans {t_all:.2f}% <= 4.17%")
+    check(t_last <= max(2.0 * t_first, 1.0),
+          f"drift stable (first third {t_first:.2f}%, last {t_last:.2f}%)")
+
+    print(
+        f"SOAK {'PASS' if ok else 'FAIL'}: {n_frames} frames in {wall:.0f}s "
+        f"({n_frames/wall:.1f} fps incl. host render), {n_kf} keyframes, "
+        f"trans={t_all:.2f}% rot={r_all:.4f}deg/m ate="
+        f"{traj_mod.ate_rmse(est, gt):.2f}m rss+{rss_growth:.0f}MB",
+        flush=True,
+    )
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
