@@ -130,6 +130,38 @@ def main():
         file=sys.stderr,
     )
 
+    # MFU / roofline of the executed chunk program (XLA's own cost model on
+    # the compiled executable; cache-warm, nothing re-executes). Measured
+    # denominator = the WALL time per chunk of the timed run — the honest
+    # pipeline number (device + host overhead).
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from stereo_visual_slam_tpu.models import slam_core
+        from stereo_visual_slam_tpu.utils import roofline
+
+        H, W = cfg.padded_hw
+        cost = roofline.cost_of(
+            slam.chunk_step,
+            jax.eval_shape(lambda: slam_core.init_carry(cfg)),
+            jax.ShapeDtypeStruct((chunk, 2, H, W), jnp.uint8),
+            jax.ShapeDtypeStruct((chunk,), jnp.int32),
+            jax.ShapeDtypeStruct((chunk,), jnp.bool_),
+            jax.ShapeDtypeStruct((2,), jnp.uint32),
+        )
+        wall_chunk = t_timed / max(n_frames_timed, 1) * chunk
+        print(
+            "# roofline "
+            + roofline.summarize(
+                f"chunk program (B={chunk}; scan/cond bodies counted once "
+                "by the cost model)", cost, wall_chunk
+            ),
+            file=sys.stderr,
+        )
+    except Exception as e:  # cost model availability varies by backend
+        print(f"# roofline unavailable: {e!r}", file=sys.stderr)
+
     for profile, env, default_n, seed in (
         ("hard", "BENCH_HARD_FRAMES", hard_frames, 1),
         ("highway", "BENCH_HIGHWAY_FRAMES",

@@ -69,6 +69,23 @@ def _use_pallas_fast(config: Config) -> bool:
     return H % 64 == 0 and W % 256 == 0
 
 
+def _use_pallas_patches(config: Config) -> bool:
+    """Dispatch BRIEF patch gathering to the per-keypoint DMA kernel on TPU
+    (ops/pallas/patch_kernel.py): bit-identical patches at ~10x less HBM
+    traffic than the one-hot matmul gather. The level images are already
+    padded to (64, 256) tiles, which satisfies the kernel's alignment."""
+    return (
+        config.frontend.pallas_patches
+        and _on_tpu()
+        and config.frontend.patch_size <= 33
+        # steered BRIEF computes orientations from f32 patches; the one-hot
+        # gather rounds patches through bf16, so exact-f32 DMA patches could
+        # flip orientation bins on blurred (non-integer) images. Upright
+        # BRIEF (the production config) is bit-identical either way.
+        and not config.frontend.steer_descriptor
+    )
+
+
 def _stereo_impl(config: Config) -> str:
     """The Pallas per-keypoint DMA kernel wins ~8x over the XLA strip
     gathers on TPU (tools/profile_hotspots.py); XLA is the ground truth and
@@ -134,6 +151,23 @@ def make_extractor(config: Config):
     else:
         detect = fast_ops.detect
 
+    use_pallas_patches = _use_pallas_patches(config)
+    if use_pallas_patches:
+        from stereo_visual_slam_tpu.ops.pallas import patch_kernel
+
+    def describe_at(blurred, yx_i):
+        if use_pallas_patches:
+            patches = patch_kernel.gather_patches_aligned(
+                blurred, yx_i, patch=fe.patch_size
+            )
+            return orb_ops.describe_patches(
+                patches, bits=fe.descriptor_bits, steer=fe.steer_descriptor
+            )
+        return orb_ops.describe(
+            blurred, yx_i, bits=fe.descriptor_bits, patch=fe.patch_size,
+            steer=fe.steer_descriptor,
+        )
+
     @jax.jit
     def extract(left: jnp.ndarray, right: jnp.ndarray) -> FrameFeatures:
         """left/right: (H, W) padded f32 grayscale."""
@@ -155,13 +189,7 @@ def make_extractor(config: Config):
                 valid_hw=(h_i, w_i),
             )
             blurred = im_ops.box_blur(img, fe.blur_box)
-            packed_i, signs_i, _theta = orb_ops.describe(
-                blurred,
-                yx_i,
-                bits=fe.descriptor_bits,
-                patch=fe.patch_size,
-                steer=fe.steer_descriptor,
-            )
+            packed_i, signs_i, _theta = describe_at(blurred, yx_i)
             yx_full = yx_i.astype(jnp.float32) * s
             yx_parts.append(jnp.round(yx_full).astype(jnp.int32))
             yxf_parts.append(yx_full)
@@ -263,6 +291,37 @@ def make_batch_extractor(config: Config):
             steer=fe.steer_descriptor,
         )
 
+    use_pallas_patches = _use_pallas_patches(config)
+    if use_pallas_patches:
+        from stereo_visual_slam_tpu.ops.pallas import patch_kernel
+
+    def describe_batch(blurred_stacked, yx_i, B, H_i):
+        """(B*H_i, W) stacked blurred image + (B, n, 2) level coords ->
+        (packed (B, n, w), signs (B, n, bits)). DMA kernel on TPU (patches
+        clamped per frame via frame_h: bit-identical to the vmapped
+        per-frame gather); vmapped one-hot gather elsewhere."""
+        n = yx_i.shape[1]
+        if use_pallas_patches:
+            row_off = (jnp.arange(B, dtype=jnp.int32) * H_i)[:, None]
+            yx_st = jnp.stack(
+                [yx_i[..., 0] + row_off, yx_i[..., 1]], axis=-1
+            ).reshape(B * n, 2)
+            patches = patch_kernel.gather_patches_aligned(
+                blurred_stacked, yx_st, patch=fe.patch_size, frame_h=H_i
+            )
+            packed, signs, _ = orb_ops.describe_patches(
+                patches, bits=fe.descriptor_bits, steer=fe.steer_descriptor
+            )
+            return (
+                packed.reshape(B, n, -1),
+                signs.reshape(B, n, -1),
+            )
+        W_i = blurred_stacked.shape[-1]
+        packed, signs, _ = jax.vmap(describe_one)(
+            blurred_stacked.reshape(B, H_i, W_i), yx_i
+        )
+        return packed, signs
+
     @jax.jit
     def batch_extract(images: jnp.ndarray) -> FrameFeatures:
         """images: (B, 2, H, W) uint8/f32 padded stereo pairs."""
@@ -298,8 +357,7 @@ def make_batch_extractor(config: Config):
             top_scores, yx_i = fast_ops.nms_topk(score, budget)
 
             blurred = im_ops.box_blur(imgs.reshape(B * H_i, W_i), fe.blur_box)
-            blurred = blurred.reshape(B, H_i, W_i)
-            packed_i, signs_i, _theta = jax.vmap(describe_one)(blurred, yx_i)
+            packed_i, signs_i = describe_batch(blurred, yx_i, B, H_i)
 
             yx_full = yx_i.astype(jnp.float32) * s
             yx_parts.append(jnp.round(yx_full).astype(jnp.int32))

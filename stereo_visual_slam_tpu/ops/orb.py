@@ -143,8 +143,23 @@ def describe(
       signs:  (N, bits) float32 in {-1, +1} for MXU Hamming matching,
       theta:  (N,) quantized orientations (radians; zeros when steer=False).
     """
-    N = yx.shape[0]
     patches = im_ops.gather_patches(img_blurred, yx, patch)   # (N, P, P)
+    return describe_patches(patches, bits=bits, steer=steer)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "steer"))
+def describe_patches(
+    patches: jnp.ndarray,
+    *,
+    bits: int = 256,
+    steer: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """BRIEF description of pre-gathered (N, P, P) patches — the post-gather
+    half of `describe`, shared by the XLA one-hot gather path and the Pallas
+    per-keypoint DMA gather (ops/pallas/patch_kernel.py). Both gathers
+    produce bit-identical patches, so the descriptors agree exactly."""
+    N = patches.shape[0]
+    patch = patches.shape[-1]
     flat = patches.reshape(N, -1)
 
     # Materialize only the columns actually used: the full 30-bin matrix is

@@ -5,7 +5,9 @@ The host's job: stack B frames, upload, dispatch the scanned chunk program
 (models/slam_core.py), and fetch the per-frame records. Every host<->device
 interaction on the TPU tunnel carries a ~25 ms round-trip floor and uploads
 stream at ~1.5 GB/s (tools/profile_hotspots.py / profile_device.py), while
-the compiled chunk program itself runs at ~7 ms/frame — so ALL transfers
+the compiled chunk program runs at ~7 ms/frame tracking + ~12 ms per
+keyframe of BA, i.e. ~10 ms/frame at the production keyframe mix (measured
+per-phase in docs/PERF.md, tools/profile_production.py) — so ALL transfers
 run on background threads:
 
   * an upload pool assembles + device_puts each chunk's images and sideband

@@ -65,6 +65,11 @@ class FrontendConfig:
     # TPU (ops/pallas/stereo_kernel.py) — the XLA path's strip gathers alone
     # cost ~4 ms/frame at N=2048 (tools/profile_hotspots.py). XLA on CPU.
     pallas_stereo: bool = True
+    # Gather BRIEF patches via the per-keypoint DMA kernel on TPU
+    # (ops/pallas/patch_kernel.py): ~10x less HBM traffic than the one-hot
+    # matmul gather (docs/PERF.md — the pipeline is bandwidth-bound).
+    # Bit-identical patches; XLA one-hot path on CPU and as ground truth.
+    pallas_patches: bool = True
     # Upright vs orientation-steered BRIEF. The reference steers
     # (cv::ORB rBRIEF); on roll-free rigs (KITTI) the centroid angle is
     # noise on weak corners and steering HALVES the true-match rate while

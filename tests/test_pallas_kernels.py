@@ -146,3 +146,88 @@ def test_stereo_kernel_edge_keypoints(stereo_pair):
     np.testing.assert_allclose(
         np.asarray(z_ker), np.asarray(z_ref), atol=2e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# patch gather kernel (ops/pallas/patch_kernel.py)
+
+
+@pytest.fixture(scope="module")
+def patch_image():
+    # integer-valued (bf16-exact): the XLA one-hot gather rounds pixels to
+    # bf16, the DMA kernel copies f32 exactly — uint8-range integers make
+    # both identical (the production contract; see gather_patches docstring)
+    rng = np.random.default_rng(7)
+    return jnp.asarray(rng.integers(0, 256, (128, 256)).astype(np.float32))
+
+
+def test_patch_kernel_matches_gather(patch_image):
+    from stereo_visual_slam_tpu.ops import image as im_ops
+    from stereo_visual_slam_tpu.ops.pallas import patch_kernel
+
+    rng = np.random.default_rng(3)
+    # interior, border-clamping, and corner cases; N not a multiple of G
+    yx = np.concatenate([
+        np.stack([rng.integers(0, 128, 17), rng.integers(0, 256, 17)], -1),
+        np.array([[0, 0], [127, 255], [5, 250], [120, 3]]),
+    ]).astype(np.int32)
+    ref = im_ops.gather_patches(patch_image, jnp.asarray(yx), 33)
+    ker = patch_kernel.gather_patches_aligned(
+        patch_image, jnp.asarray(yx), patch=33, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ker), np.asarray(ref))
+
+
+def test_patch_kernel_stacked_frames_clamp_per_frame(patch_image):
+    """frame_h: patches near frame seams clamp within their own frame,
+    matching the per-frame gather exactly."""
+    from stereo_visual_slam_tpu.ops import image as im_ops
+    from stereo_visual_slam_tpu.ops.pallas import patch_kernel
+
+    rng = np.random.default_rng(4)
+    B, H, W = 3, 64, 256
+    stacked = jnp.asarray(
+        rng.integers(0, 256, (B * H, W)).astype(np.float32)
+    )
+    frames = stacked.reshape(B, H, W)
+    yx_local = np.stack(
+        [rng.integers(0, H, 24), rng.integers(0, W, 24)], -1
+    ).astype(np.int32)
+    # force seam-adjacent rows into the set
+    yx_local[:6, 0] = np.array([0, 1, 15, H - 1, H - 2, H - 16])
+    b_of = np.arange(24) % B
+    yx_st = np.stack([yx_local[:, 0] + b_of * H, yx_local[:, 1]], -1)
+
+    ker = patch_kernel.gather_patches_aligned(
+        stacked, jnp.asarray(yx_st), patch=33, frame_h=H, interpret=True
+    )
+    for i in range(24):
+        ref = im_ops.gather_patches(
+            frames[b_of[i]], jnp.asarray(yx_local[i : i + 1]), 33
+        )
+        np.testing.assert_array_equal(np.asarray(ker[i]), np.asarray(ref[0]))
+
+
+def test_describe_patches_equals_describe(patch_image):
+    """The split describe (gather + describe_patches) is bit-identical to
+    the fused describe for both gather paths."""
+    from stereo_visual_slam_tpu.ops import orb as orb_ops
+    from stereo_visual_slam_tpu.ops.pallas import patch_kernel
+
+    rng = np.random.default_rng(5)
+    yx = jnp.asarray(np.stack(
+        [rng.integers(0, 128, 16), rng.integers(0, 256, 16)], -1
+    ).astype(np.int32))
+    for steer in (False, True):
+        p_ref, s_ref, th_ref = orb_ops.describe(
+            patch_image, yx, bits=256, patch=33, steer=steer
+        )
+        patches = patch_kernel.gather_patches_aligned(
+            patch_image, yx, patch=33, interpret=True
+        )
+        p_k, s_k, th_k = orb_ops.describe_patches(
+            patches, bits=256, steer=steer
+        )
+        np.testing.assert_array_equal(np.asarray(p_k), np.asarray(p_ref))
+        np.testing.assert_array_equal(np.asarray(s_k), np.asarray(s_ref))
+        np.testing.assert_array_equal(np.asarray(th_k), np.asarray(th_ref))

@@ -148,6 +148,35 @@ def test_sharded_schedule_matches_single_device(rng, mesh):
     )
 
 
+def test_sharded_schedule_large_window(mesh):
+    """Window GROWTH on the mesh (SURVEY.md §5 long-context analog): the
+    schedule at Kw=20 / L=8192 — double the production window, double the
+    landmark table — sharded over 8 devices matches the single-device
+    result. tools/scaling_bench.py times the same shapes."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from scaling_bench import make_window
+
+    from stereo_visual_slam_tpu.ba import schedule as ba_schedule
+    from stereo_visual_slam_tpu.utils.config import BAConfig
+
+    inp, Kmat = make_window(8192, nK=20, seed=3)
+    cfg = BAConfig()
+    single = ba_schedule.make_ba_schedule(cfg)(inp, Kmat)
+    sharded = jax.jit(ba_schedule.make_ba_schedule(cfg, mesh=mesh))(inp, Kmat)
+    np.testing.assert_allclose(
+        np.asarray(sharded.T_c_w), np.asarray(single.T_c_w), atol=2e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.inlier), np.asarray(single.inlier)
+    )
+    np.testing.assert_allclose(
+        float(sharded.cost_full), float(single.cost_full), rtol=1e-4
+    )
+
+
 def test_chunked_core_sharded_matches_single(mesh):
     """The production chunked SLAM step on the mesh tracks the same
     trajectory as the single-device build (same frames, same RNG)."""

@@ -13,6 +13,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 import jax  # noqa: E402
@@ -32,7 +33,7 @@ def make_window(L, nK=10, seed=0):
     rng = np.random.default_rng(seed)
     pts = np.stack(
         [rng.uniform(-20, 20, L), rng.uniform(-5, 5, L),
-         rng.uniform(10, 80, L)], axis=-1,
+         rng.uniform(10, 80 + nK, L)], axis=-1,
     ).astype(np.float32)
     T = np.stack([
         np.asarray(se3.exp(jnp.asarray(
@@ -68,6 +69,17 @@ def make_window(L, nK=10, seed=0):
     return inp, K
 
 
+def time_schedule(cfg, inp, K, mesh, reps=3):
+    run = jax.jit(ba_schedule.make_ba_schedule(cfg, mesh=mesh))
+    out = run(inp, K)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(inp, K)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
 def main():
     L = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     inp, K = make_window(L)
@@ -77,19 +89,29 @@ def main():
     base = None
     for n in (1, 2, 4, 8):
         mesh = Mesh(np.array(jax.devices()[:n]), (ba_schedule.LM_AXIS,))
-        run = jax.jit(ba_schedule.make_ba_schedule(cfg, mesh=mesh))
-        out = run(inp, K)
-        jax.block_until_ready(out)
-        reps = 3
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = run(inp, K)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps
+        dt, out = time_schedule(cfg, inp, K, mesh)
         if base is None:
             base = dt
         print(f"devices={n}: {dt*1e3:8.1f} ms/schedule   "
               f"speedup {base/dt:4.2f}x   cost {float(out.cost_full):.1f}")
+
+    # ---- window GROWTH: hold per-device work ~constant while the active
+    # window and landmark table scale with the mesh — the "long-context"
+    # analog of SURVEY.md §5: an 8-device mesh sustains a 4x window at
+    # roughly single-device-per-chunk cost.
+    print("\n# window growth: (Kw, L) scaled with devices, "
+          "1-device vs 8-device wall")
+    for Kw, Lw in ((10, 4096), (20, 8192), (40, 16384)):
+        inp_w, K_w = make_window(Lw, nK=Kw)
+        t1, o1 = time_schedule(
+            cfg, inp_w, K_w,
+            Mesh(np.array(jax.devices()[:1]), (ba_schedule.LM_AXIS,)))
+        t8, o8 = time_schedule(
+            cfg, inp_w, K_w,
+            Mesh(np.array(jax.devices()[:8]), (ba_schedule.LM_AXIS,)))
+        print(f"Kw={Kw:3d} L={Lw:6d}: 1-dev {t1*1e3:8.1f} ms  "
+              f"8-dev {t8*1e3:8.1f} ms  speedup {t1/t8:4.2f}x  "
+              f"cost {float(o8.cost_full):.1f}")
 
 
 if __name__ == "__main__":
