@@ -448,6 +448,54 @@ def make_slam_step(config: Config, extract=None, mesh=None):
     return slam_frame_step
 
 
+def encode_chunk_buffer(stacked, fids, active):
+    """Host-side: pack a chunk's images + sideband into ONE flat uint8
+    buffer. Every device_put over the axon tunnel pays a ~27 ms round trip
+    regardless of size (verify SKILL.md), so the three per-chunk uploads
+    (images, frame ids, active mask) cost ~80 ms/chunk of tunnel time —
+    measured as the entire wall-vs-device gap of the pipeline. One buffer =
+    one round trip.
+
+    stacked: (B, 2, H, W) uint8; fids: (B,) int32; active: (B,) bool.
+    Returns (B*2*H*W + 5*B,) uint8.
+    """
+    import numpy as np
+
+    return np.concatenate([
+        np.ascontiguousarray(stacked, dtype=np.uint8).reshape(-1),
+        np.ascontiguousarray(fids, dtype=np.int32).view(np.uint8),
+        np.ascontiguousarray(active, dtype=np.uint8).reshape(-1),
+    ])
+
+
+def decode_chunk_buffer(buf, B, H, W):
+    """Device-side inverse of encode_chunk_buffer (pure jnp, inside jit)."""
+    n_img = B * 2 * H * W
+    images = buf[:n_img].reshape(B, 2, H, W)
+    fid_bytes = buf[n_img : n_img + 4 * B].reshape(B, 4).astype(jnp.int32)
+    shifts = jnp.asarray([0, 8, 16, 24], jnp.int32)
+    fids = jnp.sum(fid_bytes << shifts[None, :], axis=1)
+    active = buf[n_img + 4 * B : n_img + 5 * B] > 0
+    return images, fids, active
+
+
+@functools.lru_cache(maxsize=8)
+def make_chunk_step_packed(config: Config, mesh=None, chunk: int = 8):
+    """The production dispatch wrapper: one flat uint8 buffer in (images +
+    sideband, encode_chunk_buffer), same semantics as make_chunk_step.
+    Cached per (config, mesh, chunk) so driver instances share the jit."""
+    step = make_chunk_step(config, mesh=mesh)
+    H, W = config.padded_hw
+    B = chunk
+
+    @jax.jit
+    def packed_step(carry: SlamCarry, buf, key):
+        images, fids, active = decode_chunk_buffer(buf, B, H, W)
+        return step(carry, images, fids, active, key)
+
+    return packed_step
+
+
 def make_chunk_step(config: Config, extract=None, mesh=None):
     """The production chunk program: batched extraction + tracking scan.
     ONE dispatch, ONE fetch for B frames — host round-trip latency (~25 ms

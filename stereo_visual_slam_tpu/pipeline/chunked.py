@@ -114,6 +114,13 @@ class ChunkedSlam:
         self.chunk = chunk
         self.mesh = mesh
         self.chunk_step = slam_core.make_chunk_step(config, mesh=mesh)
+        # production dispatch path: ONE flat uint8 upload per chunk (each
+        # device_put over the tunnel costs a ~27 ms round trip; images +
+        # frame ids + active mask as three puts were the entire
+        # wall-vs-device gap — docs/PERF.md)
+        self._packed_step = slam_core.make_chunk_step_packed(
+            config, mesh=mesh, chunk=chunk
+        )
         self.carry = slam_core.init_carry(config)
         self.key = jax.random.PRNGKey(seed)
         self.writer = TrajectoryWriter(pose_path) if pose_path else None
@@ -134,17 +141,22 @@ class ChunkedSlam:
         """Compile the chunk program + packer on dummy frames (slow over the
         tunnel, cached persistently afterwards)."""
         H, W = self.config.padded_hw
-        images = jnp.zeros((self.chunk, 2, H, W), jnp.uint8)
-        fids = jnp.arange(self.chunk, dtype=jnp.int32)
-        active = jnp.ones((self.chunk,), bool)
-        carry, recs = self.chunk_step(
-            self.carry, images, fids, active, jax.random.PRNGKey(0)
+        buf = jnp.asarray(
+            slam_core.encode_chunk_buffer(
+                np.zeros((self.chunk, 2, H, W), np.uint8),
+                np.arange(self.chunk, dtype=np.int32),
+                np.ones((self.chunk,), bool),
+            )
+        )
+        carry, recs = self._packed_step(
+            self.carry, buf, jax.random.PRNGKey(0)
         )
         jax.block_until_ready(self._pack(recs))
 
     # ------------------------------------------------------------------
     def _upload_job(self, frames):
-        """Worker-thread task: assemble + device_put one chunk's arrays."""
+        """Worker-thread task: assemble + device_put one chunk's buffer
+        (ONE flat array = ONE tunnel round trip, see encode_chunk_buffer)."""
         H, W = self.config.padded_hw
         B = self.chunk
         stacked = np.zeros((B, 2, H, W), np.uint8)
@@ -159,10 +171,8 @@ class ChunkedSlam:
         # padding slots reuse the last real frame id (any value works: the
         # carry passes through and the record is dropped)
         fids[len(frames):] = fids[max(len(frames) - 1, 0)]
-        return (
-            jax.device_put(stacked),
-            jax.device_put(fids),
-            jax.device_put(active),
+        return jax.device_put(
+            slam_core.encode_chunk_buffer(stacked, fids, active)
         )
 
     # ------------------------------------------------------------------
@@ -191,12 +201,10 @@ class ChunkedSlam:
             or len(self._uploads) > self._prefetch
         ):
             t0 = _time.perf_counter()
-            images, fids, active = self._uploads.popleft().result()
+            buf = self._uploads.popleft().result()
             t1 = _time.perf_counter()
             self.timing["upload_wait"] += t1 - t0
-            carry, recs = self.chunk_step(
-                self.carry, images, fids, active, self.key
-            )
+            carry, recs = self._packed_step(self.carry, buf, self.key)
             self.carry = carry
             packed = self._pack(recs)
             t2 = _time.perf_counter()

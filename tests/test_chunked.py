@@ -106,3 +106,39 @@ def test_chunked_map_invariants(world):
     rows = t.lm_id[t.valid]
     assert (rows >= 0).all()
     assert (rows < world.config.ba.max_landmarks).all()
+
+
+def test_packed_chunk_step_equals_unpacked():
+    """The single-upload packed dispatch path (encode_chunk_buffer ->
+    decode on device) is bit-identical to the three-array chunk step."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_visual_slam_tpu.data import synthetic
+    from stereo_visual_slam_tpu.models import slam_core
+    from stereo_visual_slam_tpu.utils.config import small_config
+
+    cfg = small_config()
+    H, W = cfg.padded_hw
+    h, w = cfg.image_hw
+    B = 4
+    world = synthetic.make_world(cfg, n_frames=B, n_points=1500, seed=0)
+    stacked = np.zeros((B, 2, H, W), np.uint8)
+    for i, (f, l, r) in enumerate(synthetic.frames(world)):
+        stacked[i, 0, :h, :w] = l
+        stacked[i, 1, :h, :w] = r
+    fids = np.arange(100, 100 + B, dtype=np.int32)
+    active = np.array([1, 1, 1, 0], bool)
+    key = jax.random.PRNGKey(0)
+    carry = slam_core.init_carry(cfg)
+
+    step = slam_core.make_chunk_step(cfg)
+    c1, r1 = step(
+        carry, jnp.asarray(stacked), jnp.asarray(fids), jnp.asarray(active),
+        key,
+    )
+    packed = slam_core.make_chunk_step_packed(cfg, chunk=B)
+    buf = jnp.asarray(slam_core.encode_chunk_buffer(stacked, fids, active))
+    c2, r2 = packed(carry, buf, key)
+    for a, b in zip(jax.tree.leaves((c1, r1)), jax.tree.leaves((c2, r2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
