@@ -68,8 +68,8 @@ def make_world(
     n_frames: int = 100,
     n_points: int = 4000,
     patch: int = 13,
-    speed: float = 1.0,
-    yaw_rate: float = 0.004,
+    speed: float | None = None,
+    yaw_rate: float | None = None,
     seed: int = 0,
     profile: str = "default",
     scaled_sprites: bool | None = None,
@@ -98,11 +98,12 @@ def make_world(
     """
     hard = profile == "hard"
     highway = profile == "highway"
-    if highway:
-        if speed == 1.0:
-            speed = 2.7
-        if yaw_rate == 0.004:
-            yaw_rate = 0.0015
+    # per-profile defaults resolve ONLY when the caller did not pass a value
+    # (None sentinel): an explicit speed=1.0 with profile="highway" sticks
+    if speed is None:
+        speed = 2.7 if highway else 1.0
+    if yaw_rate is None:
+        yaw_rate = 0.0015 if highway else 0.004
     if scaled_sprites is None:
         # perspective scale change is part of "hard" and "highway"
         scaled_sprites = hard or highway

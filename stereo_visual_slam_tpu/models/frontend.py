@@ -72,12 +72,18 @@ def _use_pallas_fast(config: Config) -> bool:
 def _use_pallas_patches(config: Config) -> bool:
     """Dispatch BRIEF patch gathering to the per-keypoint DMA kernel on TPU
     (ops/pallas/patch_kernel.py): bit-identical patches at ~10x less HBM
-    traffic than the one-hot matmul gather. The level images are already
-    padded to (64, 256) tiles, which satisfies the kernel's alignment."""
+    traffic than the one-hot matmul gather. Level i>0 images are padded to
+    (64, 256) tiles, which satisfies the kernel's alignment; level 0 is only
+    padded to (8, 128) multiples, so small configs (width <= 128) must take
+    the XLA gather instead of tripping the kernel's W >= 256 assert."""
+    H, W = config.padded_hw
     return (
         config.frontend.pallas_patches
         and _on_tpu()
         and config.frontend.patch_size <= 33
+        and H % 8 == 0
+        and W % 128 == 0
+        and W >= 256
         # steered BRIEF computes orientations from f32 patches; the one-hot
         # gather rounds patches through bf16, so exact-f32 DMA patches could
         # flip orientation bins on blurred (non-integer) images. Upright

@@ -14,6 +14,8 @@ from stereo_visual_slam_tpu.pipeline import trajectory as traj_mod
 from stereo_visual_slam_tpu.pipeline.chunked import ChunkedSlam
 from stereo_visual_slam_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow
+
 N = 45  # covers the low-texture stretch (25-37%) and the sharp turn (55%+)
 
 

@@ -14,7 +14,11 @@ from stereo_visual_slam_tpu.pipeline import trajectory as traj_mod
 from stereo_visual_slam_tpu.pipeline.chunked import ChunkedSlam
 from stereo_visual_slam_tpu.utils.config import Config
 
-N = 48
+pytestmark = pytest.mark.slow
+
+# >= 96 frames = ~260 m at 2.7 m/frame, so at least one standard KITTI
+# sub-trajectory length (100 m) fits inside the CI gate itself
+N = 96
 
 
 @pytest.fixture(scope="module")

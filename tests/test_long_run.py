@@ -12,6 +12,8 @@ from stereo_visual_slam_tpu.pipeline import trajectory as traj_mod
 from stereo_visual_slam_tpu.pipeline.chunked import ChunkedSlam
 from stereo_visual_slam_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow
+
 N = 120
 
 

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from stereo_visual_slam_tpu.ba import schur_lm
-from stereo_visual_slam_tpu.parallel import batch_frontend, dist_ba
+from stereo_visual_slam_tpu.parallel import dist_ba
 
 from test_ba import K, make_ba_problem, pose_rmse
 
@@ -77,8 +77,13 @@ def test_distributed_pose_only(rng, mesh):
     assert pose_rmse(res.T_c_w, T_gt) < 5e-4
 
 
-def test_batch_frontend_sharded(mesh_config=None):
-    """8 frames extracted at once across 8 devices == sequential results."""
+def test_batch_frontend_sharded(mesh):
+    """8 frames extracted at once, data-parallel across 8 devices, ==
+    sequential per-frame results. Exercises the PRODUCTION batch extractor
+    (frontend.make_batch_extractor) under the same sharding constraint the
+    chunk program applies (slam_core._build_chunk_step)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from stereo_visual_slam_tpu.data import synthetic
     from stereo_visual_slam_tpu.models import frontend as frontend_mod
     from stereo_visual_slam_tpu.utils.config import Config
@@ -86,25 +91,31 @@ def test_batch_frontend_sharded(mesh_config=None):
     cfg = Config()
     world = synthetic.make_world(cfg, n_frames=8, n_points=4000, seed=1)
     H, W = cfg.padded_hw
-    lefts, rights = [], []
+    images = np.zeros((8, 2, H, W), np.float32)
     for f, l, r in synthetic.frames(world):
-        lefts.append(np.pad(l, ((0, H - l.shape[0]), (0, W - l.shape[1]))))
-        rights.append(np.pad(r, ((0, H - r.shape[0]), (0, W - r.shape[1]))))
-    left_b = jnp.asarray(np.stack(lefts), jnp.float32)
-    right_b = jnp.asarray(np.stack(rights), jnp.float32)
+        images[f, 0, : l.shape[0], : l.shape[1]] = l
+        images[f, 1, : r.shape[0], : r.shape[1]] = r
 
-    mesh = batch_frontend.make_frontend_mesh(jax.devices()[:8])
-    bf = batch_frontend.BatchFrontend(cfg, mesh)
-    batched = bf.extract(left_b, right_b)
+    batch_extract = frontend_mod.make_batch_extractor(cfg)
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+    @jax.jit
+    def sharded_extract(imgs):
+        imgs = jax.lax.with_sharding_constraint(imgs, sharding)
+        return batch_extract(imgs)
+
+    batched = sharded_extract(jnp.asarray(images))
 
     extract = frontend_mod.make_extractor(cfg)
-    single0 = extract(left_b[0], right_b[0])
+    single0 = extract(jnp.asarray(images[0, 0]), jnp.asarray(images[0, 1]))
     np.testing.assert_array_equal(
         np.asarray(batched.yx[0]), np.asarray(single0.yx)
     )
     np.testing.assert_array_equal(
         np.asarray(batched.packed[3]),
-        np.asarray(extract(left_b[3], right_b[3]).packed),
+        np.asarray(
+            extract(jnp.asarray(images[3, 0]), jnp.asarray(images[3, 1])).packed
+        ),
     )
 
 

@@ -92,14 +92,17 @@ def main():
 
     # ---------------- composed production programs ----------------
     def p_chunk(s):
-        c, recs = chunk_step(carry0, images + s.astype(jnp.uint8) * 0, fids,
-                             act, key)
+        # thread the loop carry into the DATA (one pixel), so the body is
+        # genuinely iteration-dependent and XLA cannot hoist it out of the
+        # fori_loop (a `* 0` perturbation folds away)
+        imgs = images.at[0, 0, 0, 0].add(s.astype(jnp.uint8))
+        c, recs = chunk_step(carry0, imgs, fids, act, key)
         return feed(c.tstate.T_c_w, recs.twist)
 
     loop_time(p_chunk, f"chunk_step B={B} (no-BA window)")
 
     def p_extract(s):
-        f = batch_extract(images)
+        f = batch_extract(images.at[0, 0, 0, 0].add(s.astype(jnp.uint8)))
         return feed(f.signs, f.depth) + s * 1e-30
 
     loop_time(p_extract, f"batch_extract B={B}")
