@@ -60,7 +60,9 @@ def run_sequence(cfg, world, frames, chunk):
 
 
 def main():
-    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    chunk = int(
+        sys.argv[1] if len(sys.argv) > 1 else os.environ.get("BENCH_CHUNK", "8")
+    )
     warmup_chunks = 3
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "24"))
     n_frames = chunk * (warmup_chunks + n_chunks)
@@ -87,13 +89,19 @@ def main():
 
     warmup_frames = chunk * warmup_chunks
     t_timed = 0.0
+    chunk_marks = []  # wall clock at each timed chunk boundary
     t0 = time.perf_counter()
     for f, left, right in frames:
         if f == warmup_frames:
             # timing starts at a chunk boundary; earlier chunks warmed the
             # pipeline (first BA compile etc.)
+            slam.timing.clear()
+            slam.dispatch_times.clear()
+            slam.fetch_times.clear()
             t0 = time.perf_counter()
         slam.process(f, left, right)
+        if f >= warmup_frames and (f + 1) % chunk == 0:
+            chunk_marks.append(time.perf_counter())
         if slam.lost:
             break
     slam.finish()
@@ -130,25 +138,60 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- self-diagnosis: where the wall time went (VERDICT r03 item 1a).
+    # upload_wait: main thread blocked on the upload pool; dispatch: jit
+    # call + record-pack dispatch; fetch_wait: blocked on the collector pool
+    # (~= device time once the pipeline saturates). The remainder of
+    # t_timed is python feeding + pool handoff.
+    tm = dict(slam.timing)
+    accounted = sum(tm.values())
+    parts = " ".join(f"{k}={v:.2f}s" for k, v in sorted(tm.items()))
+    print(
+        f"# host timing (B={chunk}, prefetch={slam._prefetch}): {parts} "
+        f"other={t_timed - accounted:.2f}s of {t_timed:.2f}s total",
+        file=sys.stderr,
+    )
+    if len(chunk_marks) >= 4:
+        gaps = np.diff(np.asarray(chunk_marks)) * 1e3  # ms between chunks
+        q = np.percentile(gaps, [50, 90, 99])
+        print(
+            f"# per-chunk wall (ms, {len(gaps)} gaps): p50={q[0]:.1f} "
+            f"p90={q[1]:.1f} p99={q[2]:.1f} max={gaps.max():.1f} "
+            f"-> p50 {q[0] / chunk:.2f} ms/frame",
+            file=sys.stderr,
+        )
+    for name, arr in (
+        ("dispatch", slam.dispatch_times),
+        ("fetch", slam.fetch_times),
+    ):
+        if len(arr) >= 4:
+            a = np.asarray(arr) * 1e3
+            q = np.percentile(a, [50, 90])
+            print(
+                f"# per-chunk {name} (ms, {len(a)}): p50={q[0]:.1f} "
+                f"p90={q[1]:.1f} max={a.max():.1f} sum={a.sum()/1e3:.2f}s",
+                file=sys.stderr,
+            )
+
     # MFU / roofline of the executed chunk program (XLA's own cost model on
     # the compiled executable; cache-warm, nothing re-executes). Measured
     # denominator = the WALL time per chunk of the timed run — the honest
     # pipeline number (device + host overhead).
     try:
-        import jax
-        import jax.numpy as jnp
-
-        from stereo_visual_slam_tpu.models import slam_core
         from stereo_visual_slam_tpu.utils import roofline
 
-        H, W = cfg.padded_hw
+        # cost-analyze the EXACT executable the timed loop dispatched (same
+        # jit fn, same committed args -> both the in-process jit cache and
+        # the persistent cache hit; lowering a second program variant here
+        # used to cost a ~250 s cold compile inside the bench)
+        h_img, w_img = cfg.image_hw
+        dummy = [
+            (i, np.zeros((h_img, w_img), np.uint8),
+             np.zeros((h_img, w_img), np.uint8))
+            for i in range(chunk)
+        ]
         cost = roofline.cost_of(
-            slam.chunk_step,
-            jax.eval_shape(lambda: slam_core.init_carry(cfg)),
-            jax.ShapeDtypeStruct((chunk, 2, H, W), jnp.uint8),
-            jax.ShapeDtypeStruct((chunk,), jnp.int32),
-            jax.ShapeDtypeStruct((chunk,), jnp.bool_),
-            jax.ShapeDtypeStruct((2,), jnp.uint32),
+            slam._packed_step, slam.carry, slam._upload_job(dummy), slam.key
         )
         wall_chunk = t_timed / max(n_frames_timed, 1) * chunk
         print(

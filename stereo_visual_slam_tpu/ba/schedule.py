@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from stereo_visual_slam_tpu.ba import pose_only as pose_only_mod
 from stereo_visual_slam_tpu.ba import schur_lm
 from stereo_visual_slam_tpu.utils.config import BAConfig
+from stereo_visual_slam_tpu.utils.hostconst import build_on_host
 
 LM_AXIS = "lm"
 
@@ -53,6 +54,7 @@ class ScheduleResult(NamedTuple):
     threshold: jnp.ndarray    # () final adaptive chi2 threshold
 
 
+@build_on_host
 def make_ba_schedule(cfg: BAConfig, mesh=None, axis_name: Optional[str] = None):
     """Build the jitted schedule closed over the static BA config.
 

@@ -20,6 +20,7 @@ from stereo_visual_slam_tpu.ops import image as im_ops
 from stereo_visual_slam_tpu.ops import orb as orb_ops
 from stereo_visual_slam_tpu.ops import stereo as stereo_ops
 from stereo_visual_slam_tpu.utils.config import Config
+from stereo_visual_slam_tpu.utils.hostconst import build_on_host
 
 
 class FrameFeatures(NamedTuple):
@@ -137,6 +138,7 @@ def _level_geometry(config: Config):
     return out
 
 
+@build_on_host
 def make_extractor(config: Config):
     """Build the jitted extractor closed over static config.
 
@@ -254,6 +256,7 @@ def make_extractor(config: Config):
     return extract
 
 
+@build_on_host
 def make_batch_extractor(config: Config):
     """Batched extractor: (B, 2, H, W) images -> FrameFeatures with a leading
     B axis — bit-identical per frame to `make_extractor` (tests assert it).

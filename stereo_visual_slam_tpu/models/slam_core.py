@@ -38,6 +38,7 @@ from stereo_visual_slam_tpu.geom import se3
 from stereo_visual_slam_tpu.models import frontend as frontend_mod
 from stereo_visual_slam_tpu.models import vslam
 from stereo_visual_slam_tpu.utils.config import Config
+from stereo_visual_slam_tpu.utils.hostconst import build_on_host
 
 
 class MapState(NamedTuple):
@@ -129,6 +130,7 @@ def _allocate_rows(
     return rows.astype(jnp.int32), jnp.sum(served.astype(jnp.int32))
 
 
+@build_on_host
 def make_feats_step(config: Config, mesh=None):
     """Build the per-frame tracking + mapping + BA device function over
     PRECOMPUTED features:
@@ -424,6 +426,7 @@ def make_feats_step(config: Config, mesh=None):
     return slam_feats_step
 
 
+@build_on_host
 def make_slam_step(config: Config, extract=None, mesh=None):
     """Per-frame device function over raw images (extraction included):
 
@@ -480,6 +483,7 @@ def decode_chunk_buffer(buf, B, H, W):
 
 
 @functools.lru_cache(maxsize=8)
+@build_on_host
 def make_chunk_step_packed(config: Config, mesh=None, chunk: int = 8):
     """The production dispatch wrapper: one flat uint8 buffer in (images +
     sideband, encode_chunk_buffer), same semantics as make_chunk_step.
@@ -530,6 +534,7 @@ def _cached_chunk_step(config: Config, mesh):
     return _build_chunk_step(config, None, mesh)
 
 
+@build_on_host
 def _build_chunk_step(config: Config, extract, mesh):
     feats_step = make_feats_step(config, mesh=mesh)
     if extract is None:

@@ -27,6 +27,7 @@ from stereo_visual_slam_tpu.models.frontend import FrameFeatures
 from stereo_visual_slam_tpu.ops import matcher as matcher_ops
 from stereo_visual_slam_tpu.tracking import pnp
 from stereo_visual_slam_tpu.utils.config import Config
+from stereo_visual_slam_tpu.utils.hostconst import build_on_host
 
 
 class TrackState(NamedTuple):
@@ -77,6 +78,7 @@ def empty_state(config: Config) -> TrackState:
     )
 
 
+@build_on_host
 def make_tracker(config: Config):
     """Build jitted (track_step, keyframe_update) closed over config."""
     cam = config.camera

@@ -46,6 +46,7 @@ import numpy as np
 from stereo_visual_slam_tpu.models import slam_core
 from stereo_visual_slam_tpu.pipeline.trajectory import TrajectoryWriter
 from stereo_visual_slam_tpu.utils.config import Config
+from stereo_visual_slam_tpu.utils.hostconst import build_on_host
 
 
 class _KeyframeView:
@@ -72,6 +73,7 @@ class _MapView:
                 )
 
 
+@build_on_host
 def _make_record_packer():
     """Jitted FrameRecord -> (B, 48) f32 packer: scalars in columns 0..13,
     T_c_w rows 14..29, evict_T rows 30..45 (frame ids <= 2^24 are exact in
@@ -121,8 +123,22 @@ class ChunkedSlam:
         self._packed_step = slam_core.make_chunk_step_packed(
             config, mesh=mesh, chunk=chunk
         )
-        self.carry = slam_core.init_carry(config)
-        self.key = jax.random.PRNGKey(seed)
+        # assemble the initial carry in HOST memory (init_carry is ~20 small
+        # eager ops; over the TPU tunnel each would pay a ~27 ms round trip),
+        # then ship it to the accelerator in one device_put
+        from stereo_visual_slam_tpu.utils.hostconst import host_cpu_device
+
+        cpu = host_cpu_device()
+        if cpu is not None:
+            with jax.default_device(cpu):
+                carry = slam_core.init_carry(config)
+                key = jax.random.PRNGKey(seed)
+            dev = jax.devices()[0]  # the accelerator (cpu0 when cpu-only)
+            self.carry = jax.device_put(carry, dev)
+            self.key = jax.device_put(key, dev)
+        else:
+            self.carry = slam_core.init_carry(config)
+            self.key = jax.random.PRNGKey(seed)
         self.writer = TrajectoryWriter(pose_path) if pose_path else None
         self.pending: List[Tuple[int, np.ndarray, np.ndarray]] = []
         self.estimates: Dict[int, np.ndarray] = {}
@@ -135,23 +151,35 @@ class ChunkedSlam:
         self._fetches: Deque[cf.Future] = collections.deque()
         self._prefetch = max(1, prefetch)
         self.timing = collections.defaultdict(float)  # host phase breakdown
+        # per-dispatch / per-fetch durations (seconds) for percentile
+        # diagnosis; cleared together with `timing`
+        self.dispatch_times: List[float] = []
+        self.fetch_times: List[float] = []
 
     # ------------------------------------------------------------------
     def warmup(self):
-        """Compile the chunk program + packer on dummy frames (slow over the
-        tunnel, cached persistently afterwards)."""
-        H, W = self.config.padded_hw
-        buf = jnp.asarray(
-            slam_core.encode_chunk_buffer(
-                np.zeros((self.chunk, 2, H, W), np.uint8),
-                np.arange(self.chunk, dtype=np.int32),
-                np.ones((self.chunk,), bool),
-            )
-        )
-        carry, recs = self._packed_step(
-            self.carry, buf, jax.random.PRNGKey(0)
-        )
+        """Compile the chunk program + packer (slow over the tunnel, cached
+        persistently afterwards) on an ALL-INACTIVE chunk, which leaves the
+        carry untouched in value.
+
+        Two signature subtleties, both measured as ~250 s cold-compile
+        stalls inside the r03/r04 bench's timed region when violated:
+          * the warmup must take the EXACT production dispatch path (same
+            upload helper, same committed carry/key arrays), or jit sees a
+            different argument-sharding variant at the first real chunk;
+          * the steady-state dispatch passes the PREVIOUS DISPATCH'S OUTPUT
+            carry, whose on-device layouts come from the compiled
+            executable and can differ from the freshly device_put init
+            carry — a third signature. Dispatching twice here (second time
+            on the output carry) compiles both variants up front, and
+            adopting the output carry as self.carry makes every subsequent
+            dispatch hit the steady-state signature."""
+        buf = self._upload_job([])  # all padding slots: active=False
+        carry, recs = self._packed_step(self.carry, buf, self.key)
         jax.block_until_ready(self._pack(recs))
+        carry2, recs2 = self._packed_step(carry, buf, self.key)
+        jax.block_until_ready(self._pack(recs2))
+        self.carry = carry2
 
     # ------------------------------------------------------------------
     def _upload_job(self, frames):
@@ -209,6 +237,7 @@ class ChunkedSlam:
             packed = self._pack(recs)
             t2 = _time.perf_counter()
             self.timing["dispatch"] += t2 - t1
+            self.dispatch_times.append(t2 - t1)
             self._fetches.append(self._pool.submit(jax.device_get, packed))
         while self._fetches and (
             drain
@@ -217,7 +246,9 @@ class ChunkedSlam:
         ):
             t0 = _time.perf_counter()
             rows = self._fetches.popleft().result()
-            self.timing["fetch_wait"] += _time.perf_counter() - t0
+            dt = _time.perf_counter() - t0
+            self.timing["fetch_wait"] += dt
+            self.fetch_times.append(dt)
             self._consume(rows)
 
     # ------------------------------------------------------------------
