@@ -133,7 +133,12 @@ class ChunkedSlam:
             with jax.default_device(cpu):
                 carry = slam_core.init_carry(config)
                 key = jax.random.PRNGKey(seed)
-            dev = jax.devices()[0]  # the accelerator (cpu0 when cpu-only)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dev = NamedSharding(mesh, P())  # replicated over the mesh
+            else:
+                dev = jax.devices()[0]  # the accelerator (cpu0 when cpu-only)
             self.carry = jax.device_put(carry, dev)
             self.key = jax.device_put(key, dev)
         else:

@@ -188,6 +188,56 @@ def test_sharded_schedule_large_window(mesh):
     )
 
 
+@pytest.mark.slow
+def test_chunked_window_growth_live(mesh):
+    """Window GROWTH in the LIVE pipeline (VERDICT r03 item 5): the
+    production ChunkedSlam driver at Kw=20 / L=8192 — double the production
+    window, double the landmark arena — runs end-to-end ON THE MESH with
+    real tracking and the landmark-sharded BA schedule executing, and
+    tracks the same trajectory as the single-device build. The offline
+    schedule at these shapes is covered by
+    test_sharded_schedule_large_window; this covers the tracking loop
+    feeding it."""
+    import dataclasses
+
+    from stereo_visual_slam_tpu.data import synthetic
+    from stereo_visual_slam_tpu.pipeline.chunked import ChunkedSlam
+    from stereo_visual_slam_tpu.utils.config import small_config
+
+    cfg = small_config(h=128, w=256)
+    cfg = cfg.replace(
+        keyframe=dataclasses.replace(cfg.keyframe, window_size=20),
+        ba=dataclasses.replace(cfg.ba, max_landmarks=8192),
+    )
+    world = synthetic.make_world(cfg, n_frames=26, n_points=2000, seed=2)
+    rendered = [(f, l, r) for f, l, r in synthetic.frames(world)]
+
+    runs = {}
+    for name, m in (("single", None), ("sharded", mesh)):
+        slam = ChunkedSlam(cfg, chunk=13, mesh=m)
+        for f, l, r in rendered:
+            slam.process(f, l, r)
+        slam.finish()
+        assert not slam.lost
+        runs[name] = slam
+
+    n_kf = sum(1 for s in runs["sharded"].stats if s["keyframe"])
+    assert n_kf >= 20, f"window never filled: {n_kf} keyframes"
+    assert any(s["ba_cost"] is not None for s in runs["sharded"].stats), (
+        "the sharded Kw=20/L=8192 BA schedule must have executed live"
+    )
+    common = sorted(
+        set(runs["single"].estimates) & set(runs["sharded"].estimates)
+    )
+    assert len(common) >= 20
+    for f in common:
+        d = np.linalg.norm(
+            np.linalg.inv(runs["single"].estimates[f])[:3, 3]
+            - np.linalg.inv(runs["sharded"].estimates[f])[:3, 3]
+        )
+        assert d < 5e-2, f"frame {f}: sharded diverges by {d} m"
+
+
 def test_chunked_core_sharded_matches_single(mesh):
     """The production chunked SLAM step on the mesh tracks the same
     trajectory as the single-device build (same frames, same RNG)."""
