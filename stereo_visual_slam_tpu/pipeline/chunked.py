@@ -12,11 +12,15 @@ run on background threads:
 
   * an upload pool assembles + device_puts each chunk's images and sideband
     (frame ids + active mask) ahead of time (depth `prefetch`),
-  * the main thread only dispatches chunk programs (array-arg dispatches are
+  * the main thread dispatches chunk programs (array-arg dispatches are
     ~0.1 ms) in carry order,
   * per-frame records are packed into ONE (B, R) f32 matrix by a tiny jitted
-    kernel (a pytree fetch would pay one round trip per leaf) and fetched by
-    a collector pool one chunk late.
+    kernel (a pytree fetch would pay one round trip per leaf) and fetched on
+    the main thread ONE CHUNK BEHIND — fetching a chunk whose successor is
+    already dispatched keeps the blocking device_get short instead of
+    holding the tunnel channel through a whole chunk execution
+    (tools/profile_overlap.py: 11.7 vs 15.3 ms/frame, and the immediate
+    fetch is what triggers the tunnel's multi-minute stall mode).
 
 Steady-state wall time per frame approaches pure device throughput; the
 host adds only dispatch cost.
@@ -151,9 +155,11 @@ class ChunkedSlam:
         self.lost = False
         self._evictions: List[Tuple[int, np.ndarray]] = []
         self._pack = _make_record_packer()
-        self._pool = cf.ThreadPoolExecutor(max_workers=4)
+        self._pool = cf.ThreadPoolExecutor(max_workers=2)  # uploads only
         self._uploads: Deque[cf.Future] = collections.deque()
-        self._fetches: Deque[cf.Future] = collections.deque()
+        # dispatched-but-unfetched packed record arrays (device handles);
+        # fetched one chunk behind on the main thread (see _pump)
+        self._fetches: Deque[jnp.ndarray] = collections.deque()
         self._prefetch = max(1, prefetch)
         self.timing = collections.defaultdict(float)  # host phase breakdown
         # per-dispatch / per-fetch durations (seconds) for percentile
@@ -223,9 +229,17 @@ class ChunkedSlam:
 
     # ------------------------------------------------------------------
     def _pump(self, drain: bool = False):
-        """Dispatch ready uploads in order; harvest finished fetches.
-        Backpressure: never more than `prefetch` chunks between dispatch and
-        collection."""
+        """Dispatch ready uploads in order; fetch record batches ONE CHUNK
+        BEHIND on the main thread.
+
+        The one-behind rule is load-bearing on the axon tunnel
+        (tools/profile_overlap.py): a device_get submitted immediately
+        after its own dispatch blocks through that chunk's entire
+        execution, holding the tunnel channel — measured 15.3 ms/frame
+        steady (and the pattern that triggers the tunnel's multi-minute
+        stall mode) vs 11.7 ms/frame when each fetch targets a chunk whose
+        successor is already dispatched. Upload backpressure: never more
+        than `prefetch` chunks assembled ahead."""
         import time as _time
 
         while self._uploads and (
@@ -239,22 +253,24 @@ class ChunkedSlam:
             self.timing["upload_wait"] += t1 - t0
             carry, recs = self._packed_step(self.carry, buf, self.key)
             self.carry = carry
-            packed = self._pack(recs)
+            self._fetches.append(self._pack(recs))
             t2 = _time.perf_counter()
             self.timing["dispatch"] += t2 - t1
             self.dispatch_times.append(t2 - t1)
-            self._fetches.append(self._pool.submit(jax.device_get, packed))
-        while self._fetches and (
-            drain
-            or self._fetches[0].done()
-            or len(self._fetches) > self._prefetch
-        ):
-            t0 = _time.perf_counter()
-            rows = self._fetches.popleft().result()
-            dt = _time.perf_counter() - t0
-            self.timing["fetch_wait"] += dt
-            self.fetch_times.append(dt)
-            self._consume(rows)
+            while len(self._fetches) > 1:
+                self._harvest()
+        while self._fetches and (drain or len(self._fetches) > 1):
+            self._harvest()
+
+    def _harvest(self):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        rows = np.asarray(jax.device_get(self._fetches.popleft()))
+        dt = _time.perf_counter() - t0
+        self.timing["fetch_wait"] += dt
+        self.fetch_times.append(dt)
+        self._consume(rows)
 
     # ------------------------------------------------------------------
     def _consume(self, packed: np.ndarray):
