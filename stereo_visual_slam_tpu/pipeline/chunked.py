@@ -41,6 +41,8 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
+import functools
+import threading
 from typing import Deque, Dict, List, Optional, Tuple
 
 import jax
@@ -77,11 +79,16 @@ class _MapView:
                 )
 
 
+@functools.lru_cache(maxsize=1)
 @build_on_host
 def _make_record_packer():
     """Jitted FrameRecord -> (B, 48) f32 packer: scalars in columns 0..13,
     T_c_w rows 14..29, evict_T rows 30..45 (frame ids <= 2^24 are exact in
-    f32). One array out = ONE tunnel fetch per chunk."""
+    f32). One array out = ONE tunnel fetch per chunk.
+
+    Process-wide singleton (lru_cache): a per-instance jit object would
+    re-trace and re-load its executable for every ChunkedSlam constructed —
+    the bench constructs one per timed run and per robustness profile."""
 
     @jax.jit
     def pack(recs: slam_core.FrameRecord) -> jnp.ndarray:
@@ -150,17 +157,28 @@ class ChunkedSlam:
             self.key = jax.random.PRNGKey(seed)
         self.writer = TrajectoryWriter(pose_path) if pose_path else None
         self.pending: List[Tuple[int, np.ndarray, np.ndarray]] = []
+        self._backlog: Deque[list] = collections.deque()  # unuploaded chunks
         self.estimates: Dict[int, np.ndarray] = {}
         self.stats: List[dict] = []
         self.lost = False
         self._evictions: List[Tuple[int, np.ndarray]] = []
         self._pack = _make_record_packer()
-        self._pool = cf.ThreadPoolExecutor(max_workers=2)  # uploads only
+        self._pool = cf.ThreadPoolExecutor(max_workers=4)  # uploads only
+        self._upload_buf = threading.local()  # reused per worker thread
         self._uploads: Deque[cf.Future] = collections.deque()
         # dispatched-but-unfetched packed record arrays (device handles);
         # fetched one chunk behind on the main thread (see _pump)
         self._fetches: Deque[jnp.ndarray] = collections.deque()
         self._prefetch = max(1, prefetch)
+        # how many chunks a record fetch trails the newest dispatch. Deeper
+        # = the fetched chunk is certainly finished, so the blocking
+        # device_get is one short round trip instead of holding the tunnel
+        # channel through an execution while uploads queue behind it
+        # (tools/profile_overlap.py). Env-tunable to allow retuning without
+        # re-keying the compiled program cache.
+        import os as _os
+
+        self._fetch_behind = max(1, int(_os.environ.get("SVS_FETCH_BEHIND", "3")))
         self.timing = collections.defaultdict(float)  # host phase breakdown
         # per-dispatch / per-fetch durations (seconds) for percentile
         # diagnosis; cleared together with `timing`
@@ -195,51 +213,88 @@ class ChunkedSlam:
     # ------------------------------------------------------------------
     def _upload_job(self, frames):
         """Worker-thread task: assemble + device_put one chunk's buffer
-        (ONE flat array = ONE tunnel round trip, see encode_chunk_buffer)."""
+        (ONE flat array = ONE tunnel round trip, see encode_chunk_buffer).
+
+        Assembly writes the frames straight into a REUSED per-worker flat
+        buffer (allocated + zeroed once): the zeros/copy/concatenate
+        three-pass version cost ~100 ms per chunk on the 2-CPU host and
+        made the upload pool the pipeline bottleneck
+        (tools/profile_overlap2.py: driver 26 ms/frame vs 12 with uploads
+        bypassed). No blocking after the put: a `block_until_ready` here
+        waits behind every queued chunk EXECUTION on the device stream
+        (~400 ms/job measured), and over the RPC tunnel the payload is
+        serialized during the device_put call itself. Each worker rotates
+        through a small buffer ring as insurance for backends whose
+        device_put reads the host buffer lazily."""
         H, W = self.config.padded_hw
         B = self.chunk
-        stacked = np.zeros((B, 2, H, W), np.uint8)
-        fids = np.zeros((B,), np.int32)
-        active = np.zeros((B,), bool)
+        n_img = B * 2 * H * W
+        ring = getattr(self._upload_buf, "ring", None)
+        if ring is None or ring[0][0].shape[0] != n_img + 5 * B:
+            ring = ([np.zeros((n_img + 5 * B,), np.uint8) for _ in range(4)],
+                    [0])
+            self._upload_buf.ring = ring
+        bufs, pos = ring
+        buf = bufs[pos[0] % len(bufs)]
+        pos[0] += 1
+        imgs = buf[:n_img].reshape(B, 2, H, W)
+        fids = buf[n_img:n_img + 4 * B].view(np.int32)
+        active = buf[n_img + 4 * B:]
+        # only the valid region is rewritten; padding pixels stay zero from
+        # allocation (frames never shrink within a run: shapes are static)
+        active[:] = 0
         for i, (fid, left, right) in enumerate(frames):
             h, w = left.shape
-            stacked[i, 0, :h, :w] = left
-            stacked[i, 1, :h, :w] = right
+            imgs[i, 0, :h, :w] = left
+            imgs[i, 1, :h, :w] = right
             fids[i] = fid
-            active[i] = True
+            active[i] = 1
         # padding slots reuse the last real frame id (any value works: the
         # carry passes through and the record is dropped)
         fids[len(frames):] = fids[max(len(frames) - 1, 0)]
-        return jax.device_put(
-            slam_core.encode_chunk_buffer(stacked, fids, active)
-        )
+        if jax.default_backend() == "cpu":
+            # CPU device_put may alias the host numpy buffer; the reuse
+            # scheme needs a private copy there (tests run on CPU)
+            return jax.device_put(buf.copy())
+        return jax.device_put(buf)
 
     # ------------------------------------------------------------------
     def process(self, frame_id: int, left: np.ndarray, right: np.ndarray):
-        """Feed one frame; uploads and fetches ride background threads."""
+        """Feed one frame; uploads ride background threads, throttled to
+        `prefetch`+1 chunks ahead of dispatch — an unthrottled feed loop
+        fires every chunk's device_put up front, and the burst of queued
+        payloads on the tunnel channel stalls the record fetches behind it
+        (measured: fetch p90 443 ms vs 108 ms throttled)."""
         if self.lost:
             return
         self.pending.append((frame_id, left, right))
         if len(self.pending) >= self.chunk:
-            self._uploads.append(
-                self._pool.submit(self._upload_job, self.pending[: self.chunk])
-            )
+            self._backlog.append(self.pending[: self.chunk])
             self.pending = self.pending[self.chunk:]
+        self._feed_uploads()
         self._pump()
+
+    def _feed_uploads(self):
+        while self._backlog and len(self._uploads) <= self._prefetch:
+            self._uploads.append(
+                self._pool.submit(self._upload_job, self._backlog.popleft())
+            )
 
     # ------------------------------------------------------------------
     def _pump(self, drain: bool = False):
-        """Dispatch ready uploads in order; fetch record batches ONE CHUNK
-        BEHIND on the main thread.
+        """Dispatch ready uploads in order; fetch record batches
+        `fetch_behind` CHUNKS BEHIND on the main thread.
 
-        The one-behind rule is load-bearing on the axon tunnel
+        The trailing-fetch rule is load-bearing on the axon tunnel
         (tools/profile_overlap.py): a device_get submitted immediately
         after its own dispatch blocks through that chunk's entire
         execution, holding the tunnel channel — measured 15.3 ms/frame
         steady (and the pattern that triggers the tunnel's multi-minute
-        stall mode) vs 11.7 ms/frame when each fetch targets a chunk whose
-        successor is already dispatched. Upload backpressure: never more
-        than `prefetch` chunks assembled ahead."""
+        stall mode) vs 11.7 ms/frame when each fetch targets a chunk that
+        already finished. Trailing several chunks keeps each blocking
+        device_get to ~one round trip so concurrent uploads never queue
+        behind a held channel. Upload backpressure: never more than
+        `prefetch` chunks assembled ahead."""
         import time as _time
 
         while self._uploads and (
@@ -257,9 +312,9 @@ class ChunkedSlam:
             t2 = _time.perf_counter()
             self.timing["dispatch"] += t2 - t1
             self.dispatch_times.append(t2 - t1)
-            while len(self._fetches) > 1:
+            while len(self._fetches) > self._fetch_behind:
                 self._harvest()
-        while self._fetches and (drain or len(self._fetches) > 1):
+        while self._fetches and (drain or len(self._fetches) > self._fetch_behind):
             self._harvest()
 
     def _harvest(self):
@@ -304,14 +359,64 @@ class ChunkedSlam:
                     self.writer.write(efid, eT)
 
     # ------------------------------------------------------------------
+    def run(self, frames, stage: bool = True):
+        """Batch-process a pre-rendered sequence: (frame_id, left, right)
+        triples, in order. With `stage=True` every chunk buffer is uploaded
+        to the device BEFORE the dispatch loop starts — the offline/dataset
+        processing mode, equivalent to the native prefetching loader
+        (native/src/slamio.cpp) filling HBM ahead of compute.
+
+        Staging exists because H2D bandwidth is deployment-dependent: on a
+        local TPU host, PCIe moves this pipeline's ~1 MB/frame in ~0.1 ms,
+        while the axon dev tunnel's put path (~70 MB/s, half-duplex with
+        head-of-line blocking) costs more than the compute itself when
+        interleaved live (tools/profile_overlap2.py: 26 vs 12 ms/frame).
+        Results are identical either way; only the upload schedule moves.
+        """
+        if not stage:
+            for f, left, right in frames:
+                self.process(f, left, right)
+                if self.lost:
+                    break
+            self.flush()
+            return
+        bufs = []
+        for i in range(0, len(frames), self.chunk):
+            b = self._upload_job(frames[i:i + self.chunk])
+            b.block_until_ready()   # staging is pre-compute; blocking per
+            bufs.append(b)          # put also makes the ring reuse safe
+        for buf in bufs:
+            if self.lost:
+                break
+            self._fetches.append(
+                self._pack(self._dispatch(buf))
+            )
+            while len(self._fetches) > self._fetch_behind:
+                self._harvest()
+        while self._fetches:
+            self._harvest()
+
+    def _dispatch(self, buf):
+        import time as _time
+
+        t1 = _time.perf_counter()
+        carry, recs = self._packed_step(self.carry, buf, self.key)
+        self.carry = carry
+        t2 = _time.perf_counter()
+        self.timing["dispatch"] += t2 - t1
+        self.dispatch_times.append(t2 - t1)
+        return recs
+
+    # ------------------------------------------------------------------
     def flush(self):
         """Dispatch any buffered partial chunk and drain every in-flight
         upload/fetch, leaving the carry current through the last fed frame."""
         if self.pending and not self.lost:
-            self._uploads.append(
-                self._pool.submit(self._upload_job, self.pending)
-            )
+            self._backlog.append(self.pending)
             self.pending = []
+        while self._backlog:
+            self._feed_uploads()
+            self._pump(drain=True)
         self._pump(drain=True)
 
     # ------------------------------------------------------------------

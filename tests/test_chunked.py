@@ -142,3 +142,32 @@ def test_packed_chunk_step_equals_unpacked():
     c2, r2 = packed(carry, buf, key)
     for a, b in zip(jax.tree.leaves((c1, r1)), jax.tree.leaves((c2, r2))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_staged_run_matches_streaming():
+    """ChunkedSlam.run(stage=True) — chunk buffers pre-uploaded, the
+    offline/dataset mode — produces bit-identical estimates and stats to
+    the live-streaming driver (uploads through the thread pool)."""
+    from stereo_visual_slam_tpu.data import synthetic
+    from stereo_visual_slam_tpu.pipeline.chunked import ChunkedSlam
+    from stereo_visual_slam_tpu.utils.config import small_config
+
+    cfg = small_config()
+    world = synthetic.make_world(cfg, n_frames=14, n_points=1500, seed=0)
+    frames = [(f, l, r) for f, l, r in synthetic.frames(world)]
+
+    staged = ChunkedSlam(cfg, chunk=6)
+    staged.run(frames)
+    staged.finish()
+    streaming = ChunkedSlam(cfg, chunk=6)
+    streaming.run(frames, stage=False)
+    streaming.finish()
+
+    assert sorted(staged.estimates) == sorted(streaming.estimates)
+    for f in staged.estimates:
+        np.testing.assert_array_equal(
+            staged.estimates[f], streaming.estimates[f]
+        )
+    assert [s["state"] for s in staged.stats] == [
+        s["state"] for s in streaming.stats
+    ]
