@@ -136,71 +136,50 @@ def make_world(
     # walls. Surface structure matters: neighboring points share depth, so
     # stereo windows straddling sprite boundaries stay depth-consistent, as
     # in real scenes. The sky is left dark and featureless.
-    if not hard:
-        # highway: sparse roadside — mostly ground texture, LOW barriers
-        # (guardrail height) instead of tall walls, spread over a longer
-        # forward range so the fast camera always sees structure ahead
-        n_ground = int(n_points * 0.65) if highway else n_points // 2
-        n_wall = (n_points - n_ground) // 2
-        z_reach = 160.0 if highway else 80.0
-        z = rng.uniform(2.0, path_len + z_reach, n_points)
-        x = np.empty(n_points)
-        y = np.empty(n_points)
-        # ground: y = +1.65 (below camera), x spread across the road
-        road_half = 16.0 if highway else 14.0
-        x[:n_ground] = rng.uniform(-road_half, road_half, n_ground)
-        y[:n_ground] = 1.65 + rng.uniform(-0.05, 0.05, n_ground)
-        # left/right walls at x = -+12 (default, up to 5.5 m tall) or
-        # -+14 guardrails (highway, <= 1.3 m tall)
-        wall_x = 14.0 if highway else 12.0
-        wall_top = 0.35 if highway else -4.0
-        x[n_ground : n_ground + n_wall] = -wall_x + rng.uniform(
-            -0.3, 0.3, n_wall
-        )
-        y[n_ground : n_ground + n_wall] = rng.uniform(wall_top, 1.65, n_wall)
-        x[n_ground + n_wall :] = wall_x + rng.uniform(
-            -0.3, 0.3, len(x) - n_ground - n_wall
-        )
-        y[n_ground + n_wall :] = rng.uniform(
-            wall_top, 1.65, len(x) - n_ground - n_wall
-        )
-        pts = np.stack([x, y, z], axis=-1)
-        # Bend the corridor along the trajectory: shift x by the path's x at z.
-        traj_x = poses_T_w_c[:, 0, 3]
-        traj_z = poses_T_w_c[:, 2, 3]
-        order = np.argsort(traj_z)
-        pts[:, 0] += np.interp(z, traj_z[order], traj_x[order])
-    else:
-        # Path-frame corridor: works for arbitrarily bent trajectories.
-        # Each point picks a station t along the (extended) path and a
-        # lateral offset in the local ground frame.
-        ext = 80.0 / speed  # structure past the end so the tail sees texture
-        t = rng.uniform(0.0, n_frames - 1 + ext, n_points)
-        yaws = np.unwrap(
-            np.arctan2(poses_T_w_c[:, 0, 2], poses_T_w_c[:, 2, 2])
-        )
-        f_idx = np.arange(n_frames, dtype=np.float64)
-        px = np.interp(t, f_idx, poses_T_w_c[:, 0, 3])
-        pz = np.interp(t, f_idx, poses_T_w_c[:, 2, 3])
-        pyaw = np.interp(t, f_idx, yaws)
-        # extrapolate past the last frame along the final heading
-        over = np.maximum(t - (n_frames - 1), 0.0) * speed
-        px = px + over * np.sin(yaws[-1])
-        pz = pz + over * np.cos(yaws[-1])
-        perp = np.stack([np.cos(pyaw), -np.sin(pyaw)], axis=-1)  # (N, 2) x,z
-        n_ground = n_points // 2
-        lat = np.empty(n_points)
-        y = np.empty(n_points)
-        lat[:n_ground] = rng.uniform(-14.0, 14.0, n_ground)
-        y[:n_ground] = 1.65 + rng.uniform(-0.05, 0.05, n_ground)
-        side = np.where(rng.uniform(size=n_points - n_ground) < 0.5, -1.0, 1.0)
-        lat[n_ground:] = side * 12.0 + rng.uniform(
-            -0.3, 0.3, n_points - n_ground
-        )
-        y[n_ground:] = rng.uniform(-4.0, 1.65, n_points - n_ground)
-        pts = np.stack(
-            [px + lat * perp[:, 0], y, pz + lat * perp[:, 1]], axis=-1
-        )
+    # Path-frame corridor, ALL profiles: each point picks a station t along
+    # the (extended) path and a lateral offset in the local ground frame —
+    # valid for arbitrarily bent trajectories. (The previous default/highway
+    # construction built a straight tube and bent it by interpolating the
+    # path's x as a function of ABSOLUTE z; once a long trajectory's yaw
+    # passes ~90 degrees, z folds back, the interpolation mixes the
+    # outbound and return passes, and the corridor scatters away from the
+    # road — the round-4 soak failed exactly this way: ~99% of "near"
+    # points landed >20 m off-path and tracking ran on far-field clutter.)
+    #
+    # Profile geometry: highway = wider road, LOW guardrails (<= 1.3 m),
+    # mostly ground texture, structure spread further ahead; default/hard =
+    # 5.5 m walls at +-12 m.
+    n_ground = int(n_points * 0.65) if highway else n_points // 2
+    z_reach = 160.0 if highway else 80.0
+    road_half = 16.0 if highway else 14.0
+    wall_x = 14.0 if highway else 12.0
+    wall_top = 0.35 if highway else -4.0
+    ext = z_reach / speed  # structure past the end so the tail sees texture
+    t = rng.uniform(0.0, n_frames - 1 + ext, n_points)
+    yaws = np.unwrap(
+        np.arctan2(poses_T_w_c[:, 0, 2], poses_T_w_c[:, 2, 2])
+    )
+    f_idx = np.arange(n_frames, dtype=np.float64)
+    px = np.interp(t, f_idx, poses_T_w_c[:, 0, 3])
+    pz = np.interp(t, f_idx, poses_T_w_c[:, 2, 3])
+    pyaw = np.interp(t, f_idx, yaws)
+    # extrapolate past the last frame along the final heading
+    over = np.maximum(t - (n_frames - 1), 0.0) * speed
+    px = px + over * np.sin(yaws[-1])
+    pz = pz + over * np.cos(yaws[-1])
+    perp = np.stack([np.cos(pyaw), -np.sin(pyaw)], axis=-1)  # (N, 2) x,z
+    lat = np.empty(n_points)
+    y = np.empty(n_points)
+    lat[:n_ground] = rng.uniform(-road_half, road_half, n_ground)
+    y[:n_ground] = 1.65 + rng.uniform(-0.05, 0.05, n_ground)
+    side = np.where(rng.uniform(size=n_points - n_ground) < 0.5, -1.0, 1.0)
+    lat[n_ground:] = side * wall_x + rng.uniform(
+        -0.3, 0.3, n_points - n_ground
+    )
+    y[n_ground:] = rng.uniform(wall_top, 1.65, n_points - n_ground)
+    pts = np.stack(
+        [px + lat * perp[:, 0], y, pz + lat * perp[:, 1]], axis=-1
+    )
 
     # Per-sprite appearance diversity — real scenes do not consist of
     # identical squares: random size (via an elliptical soft support),
