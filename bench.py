@@ -36,6 +36,34 @@ import numpy as np
 REF_TRACK_S = 0.04
 REF_KEYFRAME_S = 0.18
 
+# BINDING accuracy gates, per profile: set at ~1.5x the round-4 measured
+# errors (default 0.93 % / 1.21 m, hard 0.43 % / 0.58 m, highway 0.65 % /
+# 2.84 m — BENCH_r04.json) so a real regression FLIPS the gate, unlike the
+# reference-parity 4.17 % line which the synthetic worlds pass 4-10x over
+# (VERDICT r04 weak #3). The reference's published seq-00 result
+# (README.md:92-95, 4.17 % trans) stays as a secondary parity check.
+GATES = {
+    "default": dict(trans=1.5, ate=2.0),
+    "hard": dict(trans=1.0, ate=1.0),
+    "highway": dict(trans=1.2, ate=4.5),
+}
+REF_PARITY_TRANS = 4.17
+
+
+def gate_verdict(profile: str, acc: dict) -> str:
+    g = GATES[profile]
+    ok = (
+        not acc["lost"]
+        and acc["trans"] <= g["trans"]
+        and acc["ate"] <= g["ate"]
+    )
+    parity = "PASS" if (not acc["lost"] and acc["trans"] <= REF_PARITY_TRANS) \
+        else "FAIL"
+    return (
+        f"gate trans<={g['trans']}% ate<={g['ate']}m: "
+        f"{'PASS' if ok else 'FAIL'} (reference-parity <=4.17%: {parity})"
+    )
+
 
 def run_sequence(cfg, world, frames, chunk):
     from stereo_visual_slam_tpu.pipeline import trajectory as traj_mod
@@ -119,7 +147,6 @@ def main():
         if best is None or t_run < best[1]:
             best = (slam, t_run)
     slam, t_timed = best
-    chunk_marks = []
 
     # one live-streaming pass (uploads interleaved through the thread
     # pool) for the honest tunnel-bound number
@@ -160,11 +187,14 @@ def main():
         (n_frames_timed - n_keyframes_timed) * REF_TRACK_S
         + n_keyframes_timed * REF_KEYFRAME_S
     )
+    gate = gate_verdict("default", dict(
+        trans=t_err, ate=ate, lost=slam.lost, tracked=n_tracked,
+    ))
     print(
         f"# default profile: tracked {n_tracked}/{n_frames} ate={ate:.3f}m "
         f"trans={t_err:.2f}% rot={r_err:.4f}deg/m | timed: "
         f"{n_frames_timed} frames ({n_keyframes_timed} kf) in {t_timed:.2f}s "
-        f"(reference would take {ref_time:.2f}s for this mix)",
+        f"(reference would take {ref_time:.2f}s for this mix) | {gate}",
         file=sys.stderr,
     )
 
@@ -181,15 +211,6 @@ def main():
         f"other={t_timed - accounted:.2f}s of {t_timed:.2f}s total",
         file=sys.stderr,
     )
-    if len(chunk_marks) >= 4:
-        gaps = np.diff(np.asarray(chunk_marks)) * 1e3  # ms between chunks
-        q = np.percentile(gaps, [50, 90, 99])
-        print(
-            f"# per-chunk wall (ms, {len(gaps)} gaps): p50={q[0]:.1f} "
-            f"p90={q[1]:.1f} p99={q[2]:.1f} max={gaps.max():.1f} "
-            f"-> p50 {q[0] / chunk:.2f} ms/frame",
-            file=sys.stderr,
-        )
     for name, arr in (
         ("dispatch", slam.dispatch_times),
         ("fetch", slam.fetch_times),
@@ -248,14 +269,11 @@ def main():
         )
         frames_p = [(f, l, r) for f, l, r in synthetic.frames(world_p)]
         _, acc = run_sequence(cfg, world_p, frames_p, chunk)
-        verdict = (
-            "PASS" if (not acc["lost"] and acc["trans"] <= 4.17) else "FAIL"
-        )
         print(
             f"# {profile} profile ({n_prof} frames): tracked "
             f"{acc['tracked']}/{n_prof} ate={acc['ate']:.3f}m "
             f"trans={acc['trans']:.2f}% rot={acc['rot']:.4f}deg/m "
-            f"lost={acc['lost']} | gate trans<=4.17%: {verdict}",
+            f"lost={acc['lost']} | {gate_verdict(profile, acc)}",
             file=sys.stderr,
         )
 

@@ -257,9 +257,62 @@ def make_extractor(config: Config):
 
 
 @build_on_host
-def make_batch_extractor(config: Config):
+def make_depth_stage(config: Config):
+    """Per-frame stereo depth as a standalone stage: (image (2, H, W),
+    feats) -> dict of the five FrameFeatures depth fields.
+
+    Tracking never reads depth — only keyframe insertion does (spawn /
+    upgrade, visual_odometry.cpp:377-401) — so the production chunk program
+    computes it lazily inside the keyframe branch (26 % of frames at the
+    production mix) instead of for every frame in the batch extractor
+    (measured 1.5 ms/frame, tools/profile_production.py r05). Bit-identical
+    to the eager fields: same match_disparity/backproject on the same
+    rounded coords (the batched stereo sweep is per-keypoint independent).
+    """
+    fe = config.frontend
+    cam = config.camera
+
+    def depth_stage(image: jnp.ndarray, feats: FrameFeatures) -> dict:
+        left = image[0].astype(jnp.float32)
+        right = image[1].astype(jnp.float32)
+        yx_int = jnp.round(feats.yx).astype(jnp.int32)
+        st = stereo_ops.match_disparity(
+            left,
+            right,
+            yx_int,
+            feats.valid,
+            fx=cam.fx,
+            baseline=cam.baseline,
+            max_disparity=fe.max_disparity,
+            patch=fe.stereo_patch,
+            min_zncc=fe.min_zncc,
+            min_depth=fe.min_depth,
+            max_depth=fe.max_depth,
+            reliable_depth=fe.reliable_depth,
+            impl=_stereo_impl(config),
+        )
+        pts_cam = stereo_ops.backproject(
+            feats.yx, st.depth, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy
+        )
+        return dict(
+            disparity=st.disparity,
+            depth=st.depth,
+            depth_valid=st.valid,
+            reliable=st.reliable,
+            pts_cam=pts_cam,
+        )
+
+    return depth_stage
+
+
+@build_on_host
+def make_batch_extractor(config: Config, with_depth: bool = True):
     """Batched extractor: (B, 2, H, W) images -> FrameFeatures with a leading
     B axis — bit-identical per frame to `make_extractor` (tests assert it).
+
+    `with_depth=False` skips the stereo sweep and backprojection (fields
+    zeroed) for pipelines that compute depth lazily at keyframes via
+    `make_depth_stage` (the production chunk program).
 
     This is the production front-end of the chunked SLAM core: extraction is
     per-frame independent, so the chunk's B frames run as ONE batched program
@@ -391,10 +444,21 @@ def make_batch_extractor(config: Config):
             )
         )(yx_int, score)
 
+        N = yx_int.shape[1]
+        if not with_depth:
+            zero = jnp.zeros((B, N), jnp.float32)
+            return FrameFeatures(
+                yx=yx_f, score=score, scale=scale, valid=valid,
+                spawn_mask=spawn_mask, signs=signs, packed=packed,
+                disparity=zero, depth=zero,
+                depth_valid=jnp.zeros((B, N), bool),
+                reliable=jnp.zeros((B, N), bool),
+                pts_cam=jnp.zeros((B, N, 3), jnp.float32),
+            )
+
         # one stereo sweep over ALL frames' keypoints on the stacked full-res
         # pair; frame b's rows are offset by b * H0 in the stacked canvas
         H0, W0 = left.shape[1], left.shape[2]
-        N = yx_int.shape[1]
         row_off = (jnp.arange(B, dtype=jnp.int32) * H0)[:, None]
         yx_st = jnp.stack(
             [yx_int[..., 0] + row_off, yx_int[..., 1]], axis=-1

@@ -131,17 +131,26 @@ def _allocate_rows(
 
 
 @build_on_host
-def make_feats_step(config: Config, mesh=None):
+def make_feats_step(config: Config, mesh=None, depth_fn=None):
     """Build the per-frame tracking + mapping + BA device function over
     PRECOMPUTED features:
 
-        (carry, feats: FrameFeatures, frame_id, key) -> (carry', FrameRecord)
+        (carry, feats: FrameFeatures, frame_id, key[, image])
+            -> (carry', FrameRecord)
 
     Mirrors one iteration of the reference main loop (run_vslam.cpp:40-82)
     minus feature extraction — VO::tracking (visual_odometry.cpp:547-646) +
     conditional optimize_map x3 + optimize_pose_only. Extraction is
     per-frame independent and runs batched OUTSIDE the sequential scan
     (frontend.make_batch_extractor); everything here depends on the carry.
+
+    With `depth_fn` (frontend.make_depth_stage), the feats' depth fields are
+    expected EMPTY and stereo depth is computed lazily INSIDE the keyframe
+    branch from the raw stereo `image` (passed as a 5th argument) — depth is
+    only consumed by keyframe insertion (spawn/upgrade,
+    visual_odometry.cpp:377-401), so the ~1.5 ms/frame sweep runs on the
+    ~26 % of frames that need it. Values are bit-identical to the eager
+    batch-extractor fields.
 
     With `mesh`, the per-keyframe BA schedule runs landmark-sharded across
     the mesh devices (ba/schedule.py shard_map path): the landmark arena is
@@ -291,7 +300,7 @@ def make_feats_step(config: Config, mesh=None):
         return tstate2, mstate2, res.cost_full
 
     # ------------------------------------------------------------------ step
-    def slam_feats_step(carry: SlamCarry, feats, frame_id, key):
+    def slam_feats_step(carry: SlamCarry, feats, frame_id, key, image=None):
         tstate, mstate = carry.tstate, carry.mstate
         is_first = mstate.kf_count == 0
         frame_gap = jnp.maximum(
@@ -337,8 +346,12 @@ def make_feats_step(config: Config, mesh=None):
         )
 
         def do_keyframe(tstate_in, mstate_in):
+            if depth_fn is not None:
+                feats_kf = feats._replace(**depth_fn(image, feats))
+            else:
+                feats_kf = feats
             ts, ms, n_new, evict = insert_keyframe(
-                tstate_in, mstate_in, feats, frame_id
+                tstate_in, mstate_in, feats_kf, frame_id
             )
             if config.ba.enable_ba:
                 ts, ms, cost = jax.lax.cond(
@@ -536,9 +549,16 @@ def _cached_chunk_step(config: Config, mesh):
 
 @build_on_host
 def _build_chunk_step(config: Config, extract, mesh):
-    feats_step = make_feats_step(config, mesh=mesh)
+    # lazy stereo: the batch extractor skips the per-frame depth sweep and
+    # the scan's keyframe branch computes it from the raw frame instead
+    # (frontend.make_depth_stage) — depth is only read at keyframes
+    lazy_depth = extract is None and config.frontend.lazy_depth
+    depth_fn = frontend_mod.make_depth_stage(config) if lazy_depth else None
+    feats_step = make_feats_step(config, mesh=mesh, depth_fn=depth_fn)
     if extract is None:
-        batch_extract = frontend_mod.make_batch_extractor(config)
+        batch_extract = frontend_mod.make_batch_extractor(
+            config, with_depth=not lazy_depth
+        )
     else:
         # custom single-frame extractor (tests/oracles): vmap it
         def batch_extract(images):
@@ -569,11 +589,20 @@ def _build_chunk_step(config: Config, extract, mesh):
                 feats,
             )
         feats = jax.lax.optimization_barrier(feats)
+        if depth_fn is not None and replicated is not None:
+            # the scan slices one frame per iteration; keep the images
+            # replicated there so the lazy depth stage runs without
+            # per-iteration cross-device gathers
+            images = jax.lax.with_sharding_constraint(images, replicated)
 
         def body(c, xs):
-            feat, fid, live = xs
+            if depth_fn is not None:
+                feat, img, fid, live = xs
+            else:
+                feat, fid, live = xs
+                img = None
             k = jax.random.fold_in(key, fid)
-            c2, rec = feats_step(c, feat, fid, k)
+            c2, rec = feats_step(c, feat, fid, k, img)
             c2 = jax.tree.map(
                 lambda a, b: jnp.where(
                     live.reshape((1,) * a.ndim) if a.ndim else live, a, b
@@ -584,6 +613,11 @@ def _build_chunk_step(config: Config, extract, mesh):
             rec = rec._replace(active=live)
             return c2, rec
 
-        return jax.lax.scan(body, carry, (feats, frame_ids, active))
+        xs = (
+            (feats, images, frame_ids, active)
+            if depth_fn is not None
+            else (feats, frame_ids, active)
+        )
+        return jax.lax.scan(body, carry, xs)
 
     return chunk_step

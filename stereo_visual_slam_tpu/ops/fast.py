@@ -94,11 +94,14 @@ def nms_topk(
     After 3x3 NMS with raster-order tie-breaking, any 2x2 block holds at
     most one nonzero score (two surviving corners can never be 8-adjacent),
     so max-pooling 2x2 and running top_k on the 4x-smaller map selects
-    exactly the same corners — and the top_k over the full-resolution map is
-    the detection bottleneck on TPU (tools/profile_production.py: 3.45 of
-    6.06 ms/frame extraction). Ordering among EQUAL scores follows pooled-
+    exactly the same corners. Ordering among EQUAL scores follows pooled-
     block raster order instead of pixel raster order; all detect paths use
     this helper, so every path agrees bit-for-bit.
+
+    Measured note (tools/micro_topk.py, r05): XLA's TPU top_k on the pooled
+    batch map costs ~0.08 ms/frame — a histogram-prune + scatter-compact
+    variant was 6x SLOWER (TPU scatter serializes) and was reverted; the
+    XLA cost model's bytes for top_k wildly overstate its runtime.
 
     score: (..., H, W), H and W even. Returns (scores (..., k),
     yx (..., k, 2) int32). Zero-score rows are padding (callers mask on

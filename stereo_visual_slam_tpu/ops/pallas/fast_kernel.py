@@ -50,17 +50,32 @@ def _fast_nms_kernel(img_ref, out_ref, tile_ref, sem, *, th, tw, threshold, arc)
         for dy, dx in CIRCLE_OFFSETS
     ]
 
-    score = jnp.zeros((ch, cw), jnp.float32)
-    for sign in (1.0, -1.0):
-        mag = [jnp.where(sign * d > threshold, sign * d, 0.0) for d in diffs]
-        best = jnp.zeros((ch, cw), jnp.float32)
-        for k in range(16):
-            strength = mag[k]
-            for step in range(1, arc):
-                strength = jnp.minimum(strength, mag[(k + step) % 16])
-            # strength > 0 iff all arc members passed the threshold
-            best = jnp.maximum(best, strength)
-        score = jnp.maximum(score, best)
+    # Arc min/max via doubling (min9_k = min over d_k..d_{k+8} circular):
+    # 4 levels of pairwise min instead of 8 sequential mins per start —
+    # bit-identical (f32 min/max are associative), ~1.9x fewer VPU ops than
+    # the naive double loop (tools/micro_topk.py row I motivated this).
+    # bright strength_k = min9_k(d) when all arc diffs exceed the threshold,
+    # else 0 — and min9_k > threshold IS that condition, so one final
+    # `where` replaces the 16 per-arc masked selects. Dark pass symmetric:
+    # min9(-d) = -(max9(d)).
+    assert arc == 9, "doubling network below is specific to FAST-9/16"
+
+    def arc9(vals, op):
+        m2 = [op(vals[i], vals[(i + 1) % 16]) for i in range(16)]
+        m4 = [op(m2[i], m2[(i + 2) % 16]) for i in range(16)]
+        m8 = [op(m4[i], m4[(i + 4) % 16]) for i in range(16)]
+        return [op(m8[i], vals[(i + 8) % 16]) for i in range(16)]
+
+    mins = arc9(diffs, jnp.minimum)
+    maxs = arc9(diffs, jnp.maximum)
+    best_bright = mins[0]
+    worst_dark = maxs[0]
+    for k in range(1, 16):
+        best_bright = jnp.maximum(best_bright, mins[k])
+        worst_dark = jnp.minimum(worst_dark, maxs[k])
+    sb = jnp.where(best_bright > threshold, best_bright, 0.0)
+    sd = jnp.where(-worst_dark > threshold, -worst_dark, 0.0)
+    score = jnp.maximum(sb, sd)
 
     # 3x3 NMS with raster-order tie-breaking (later neighbors use >=)
     s = score[1 : 1 + th, 1 : 1 + tw]

@@ -232,19 +232,36 @@ class ChunkedSlam:
         ring = getattr(self._upload_buf, "ring", None)
         if ring is None or ring[0][0].shape[0] != n_img + 5 * B:
             ring = ([np.zeros((n_img + 5 * B,), np.uint8) for _ in range(4)],
-                    [0])
+                    [0],
+                    [None] * 4,            # in-flight device array per slot
+                    [np.zeros((B, 2), np.int64) for _ in range(4)])
             self._upload_buf.ring = ring
-        bufs, pos = ring
-        buf = bufs[pos[0] % len(bufs)]
+        bufs, pos, inflight, shapes = ring
+        slot = pos[0] % len(bufs)
+        buf = bufs[slot]
         pos[0] += 1
+        # PJRT may read the host buffer AFTER device_put returns
+        # (kImmutableUntilTransferCompletes); before rewriting a slot, wait
+        # for the transfer issued from it 4 puts ago. In steady state that
+        # transfer finished long ago, so this only blocks when the ring
+        # genuinely wraps faster than the device drains uploads.
+        if inflight[slot] is not None:
+            inflight[slot].block_until_ready()
+            inflight[slot] = None
         imgs = buf[:n_img].reshape(B, 2, H, W)
         fids = buf[n_img:n_img + 4 * B].view(np.int32)
         active = buf[n_img + 4 * B:]
         # only the valid region is rewritten; padding pixels stay zero from
-        # allocation (frames never shrink within a run: shapes are static)
+        # allocation. Frames normally never shrink within a run — if one
+        # does, zero that slot's full image area first so no stale pixels
+        # from the previous chunk survive in its ACTIVE margin.
         active[:] = 0
+        prev_hw = shapes[slot]
         for i, (fid, left, right) in enumerate(frames):
             h, w = left.shape
+            if h < prev_hw[i, 0] or w < prev_hw[i, 1]:
+                imgs[i] = 0
+            prev_hw[i] = (h, w)
             imgs[i, 0, :h, :w] = left
             imgs[i, 1, :h, :w] = right
             fids[i] = fid
@@ -256,7 +273,9 @@ class ChunkedSlam:
             # CPU device_put may alias the host numpy buffer; the reuse
             # scheme needs a private copy there (tests run on CPU)
             return jax.device_put(buf.copy())
-        return jax.device_put(buf)
+        out = jax.device_put(buf)
+        inflight[slot] = out
+        return out
 
     # ------------------------------------------------------------------
     def process(self, frame_id: int, left: np.ndarray, right: np.ndarray):
@@ -425,9 +444,16 @@ class ChunkedSlam:
         if self.pending and not self.lost:
             self._backlog.append(self.pending)
             self.pending = []
-        while self._backlog:
+        while self._backlog and not self.lost:
+            # stop dispatching once a harvested record reports Lost, matching
+            # run_staged's early break — otherwise streaming mode records
+            # more post-lost frames than staged mode on lost sequences
             self._feed_uploads()
             self._pump(drain=True)
+        if self.lost:
+            self._backlog.clear()
+            while self._uploads:       # discard undispatched uploads
+                self._uploads.popleft().result()
         self._pump(drain=True)
 
     # ------------------------------------------------------------------

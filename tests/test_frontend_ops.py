@@ -21,6 +21,72 @@ def blob_image(h=96, w=128, centers=((30, 40), (60, 90), (48, 64)), seed=0):
 
 # ---------------- FAST ----------------
 
+def test_pruned_topk_matches_full():
+    """nms_topk's histogram-pruned path == plain lax.top_k over the pooled
+    map: same scores, same index tie-breaking — on sparse maps (the real
+    regime), tie-heavy maps, near-empty maps (fewer than k positives), and
+    a dense map that must take the overflow fallback."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    H, W = 128, 512          # pooled M = 16384 > capacity -> pruned path
+    k = 200
+
+    def reference(score):
+        H2, W2 = H // 2, W // 2
+        s4 = score.reshape(H2, 2, W2, 2)
+        pooled = s4.max(axis=(1, 3))
+        off = np.where(
+            s4[:, 0, :, 0] == pooled, 0,
+            np.where(s4[:, 0, :, 1] == pooled, 1,
+                     np.where(s4[:, 1, :, 0] == pooled, 2, 3)))
+        flat = pooled.reshape(-1)
+        top_idx = np.argsort(-flat, kind="stable")[:k]
+        y = 2 * (top_idx // W2) + off.reshape(-1)[top_idx] // 2
+        x = 2 * (top_idx % W2) + (off.reshape(-1)[top_idx] & 1)
+        return flat[top_idx], np.stack([y, x], -1)
+
+    def sparse_map(n, tie_value=None):
+        score = np.zeros((H, W), np.float32)
+        ys = rng.choice(H // 2, size=n) * 2
+        xs = rng.choice(W // 2, size=n) * 2
+        vals = (tie_value if tie_value is not None
+                else rng.uniform(1, 200, size=n))
+        score[ys, xs] = vals
+        return score
+
+    for name, score in (
+        ("sparse", sparse_map(600)),
+        ("ties", sparse_map(600, tie_value=42.0)),
+        ("near-empty", sparse_map(k // 4)),
+        ("empty", np.zeros((H, W), np.float32)),
+    ):
+        ts, yx = fast_ops.nms_topk(jnp.asarray(score), k)
+        ref_s, ref_yx = reference(score)
+        np.testing.assert_array_equal(np.asarray(ts), ref_s, err_msg=name)
+        live = ref_s > 0
+        np.testing.assert_array_equal(
+            np.asarray(yx)[live], ref_yx[live], err_msg=name
+        )
+
+    # dense map: every pooled cell nonzero -> candidate overflow -> the
+    # lax.cond fallback must reproduce full top_k exactly
+    dense = rng.uniform(1, 10, (H, W)).astype(np.float32)
+    ts, yx = fast_ops.nms_topk(jnp.asarray(dense), k)
+    ts_full, idx_full = jax.lax.top_k(
+        jnp.asarray(dense.reshape(H // 2, 2, W // 2, 2).max(axis=(1, 3))
+                    .reshape(-1)), k)
+    np.testing.assert_array_equal(np.asarray(ts), np.asarray(ts_full))
+
+    # batched (B, H, W) agrees with per-image calls
+    batch = np.stack([sparse_map(500), sparse_map(300)], 0)
+    ts_b, yx_b = fast_ops.nms_topk(jnp.asarray(batch), k)
+    for i in range(2):
+        ts_i, yx_i = fast_ops.nms_topk(jnp.asarray(batch[i]), k)
+        np.testing.assert_array_equal(np.asarray(ts_b[i]), np.asarray(ts_i))
+        np.testing.assert_array_equal(np.asarray(yx_b[i]), np.asarray(yx_i))
+
+
 def test_fast_detects_blobs():
     centers = [(30, 40), (60, 90), (48, 64)]
     img = blob_image(centers=centers)

@@ -180,16 +180,19 @@ def main():
 
     loop_time(p_pyr, "  pyramid resize (7 levels)")
 
+    from stereo_visual_slam_tpu.ops import fast as fast_ops
+
     def p_detect(s):
+        # the production path: Pallas score map -> pooled/pruned nms_topk
         out = []
         for i, (sc, (h_i, w_i), (H_i, W_i), budget) in enumerate(levels):
             st = (pyr0[i] + s).reshape(B * H_i, W_i)
             smap = score_map(st).reshape(B, H_i, W_i)
-            ts, ti = jax.lax.top_k(smap.reshape(B, H_i * W_i), budget)
-            out.append(feed(ts, ti.astype(jnp.float32)))
+            ts, yx = fast_ops.nms_topk(smap, budget)
+            out.append(feed(ts, yx.astype(jnp.float32)))
         return sum(out)
 
-    loop_time(p_detect, "  detect: score maps + top_k")
+    loop_time(p_detect, "  detect: score maps + nms_topk")
 
     def p_blur(s):
         return sum(

@@ -127,7 +127,11 @@ def main():
           f"calibrated axon put retention; raw +{rss_growth:.0f} MB, "
           f"{attributed:.0f} MB = {n_uploads} uploads x "
           f"{leak_per_put:.1f} MB attributed to the tunnel client)")
-    check(t_all <= 4.17, f"KITTI trans {t_all:.2f}% <= 4.17%")
+    # looser RAW cap too: a genuine per-upload pipeline leak must still fail
+    # even if the probe mis-attributes it to the tunnel client (ADVICE r04)
+    check(rss_growth < 4000,
+          f"raw host rss growth bounded (+{rss_growth:.0f} MB raw)")
+    check(t_all <= 1.5, f"KITTI trans {t_all:.2f}% <= 1.5% (binding gate)")
     check(t_last <= max(2.0 * t_first, 1.0),
           f"drift stable (first third {t_first:.2f}%, last {t_last:.2f}%)")
 
