@@ -164,6 +164,21 @@ def main():
         file=sys.stderr,
     )
 
+    # bounded stage-ahead (run_rolling): the long-dataset mode — at most 8
+    # chunk buffers in HBM, upload bursts alternating with dispatch bursts
+    s3 = ChunkedSlam(cfg, chunk=chunk)
+    s3.run(frames[:warmup_frames])
+    t0 = time.perf_counter()
+    s3.run_rolling(frames[warmup_frames:], window_chunks=8)
+    s3.finish()
+    t_roll = time.perf_counter() - t0
+    print(
+        f"# rolling (bounded stage-ahead, 8 chunks HBM): {t_roll:.2f}s = "
+        f"{t_roll / n_stream * 1e3:.1f} ms/frame "
+        f"({n_stream / t_roll:.1f} frames/s)",
+        file=sys.stderr,
+    )
+
     n_frames_timed = sum(
         1 for s in slam.stats if s["frame_id"] >= warmup_frames
     )

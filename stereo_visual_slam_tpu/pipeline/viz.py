@@ -83,6 +83,66 @@ def plot_trajectory(
     plt.close(fig)
 
 
+class LiveViz:
+    """Periodic IN-RUN emitter of the reference's three rviz channels
+    (visualization.cpp:19-177): while the run is still going it appends the
+    current camera pose + the active keyframe window to `live.jsonl` (the
+    tf + keyframe-MarkerArray analog) and snapshots the landmark cloud to
+    `cloud_<frame>.ply` (the `vslam/feature_map` PointCloud2 analog). Each
+    tick costs one map fetch (~0.4 MB), so `every` trades freshness against
+    host<->device traffic — the reference publishes keyframes at ~4 Hz
+    lifetime (visualization.cpp:174) for the same reason.
+    """
+
+    def __init__(self, out_dir: str, every: int = 50, plot: bool = False):
+        import os
+
+        self.dir = out_dir
+        self.every = max(1, every)
+        self.plot = plot
+        self.last = -(10 ** 9)
+        self.ticks = 0
+        os.makedirs(out_dir, exist_ok=True)
+        self.jsonl = os.path.join(out_dir, "live.jsonl")
+        open(self.jsonl, "w").close()
+
+    def tick(self, slam, frame_id: int, force: bool = False):
+        """Call after new frame records arrive; emits when `every` frames
+        have passed since the last emission (or `force`)."""
+        import os
+
+        if not force and frame_id - self.last < self.every:
+            return
+        self.last = frame_id
+        self.ticks += 1
+        m = slam.map            # one device fetch of the live MapState
+        T_c_w = slam.estimates.get(frame_id)
+        entry = {
+            "frame_id": int(frame_id),
+            "keyframes": {
+                str(fid): [round(float(v), 4)
+                           for v in np.linalg.inv(kf.T_c_w)[:3, 3]]
+                for fid, kf in m.keyframes.items()
+            },
+            "n_landmarks": int(m.alive.sum()),
+        }
+        if T_c_w is not None:
+            entry["position"] = [
+                round(float(v), 4) for v in np.linalg.inv(T_c_w)[:3, 3]
+            ]
+        with open(self.jsonl, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        export_landmarks_ply(
+            m, os.path.join(self.dir, f"cloud_{frame_id:06d}.ply")
+        )
+        if self.plot:
+            plot_trajectory(
+                slam.estimates,
+                os.path.join(self.dir, f"traj_{frame_id:06d}.png"),
+                map_store=m,
+            )
+
+
 class TrajectoryRecorder:
     """Streaming JSONL channel of per-frame poses + keyframe events (the
     tf/marker topics analog)."""

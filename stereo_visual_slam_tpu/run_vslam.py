@@ -61,6 +61,11 @@ def build_argparser():
     p.add_argument("--plot", help="write trajectory plot PNG")
     p.add_argument("--ply", help="write landmark cloud PLY")
     p.add_argument("--record", help="write per-frame JSONL log")
+    p.add_argument("--viz-every", type=int, default=0, metavar="N",
+                   help="emit live viz (pose+keyframes JSONL, landmark "
+                        "cloud PLY) every N frames DURING the run")
+    p.add_argument("--viz-dir", default="viz_live",
+                   help="directory for --viz-every artifacts")
     p.add_argument("--snapshot", help="save state snapshot at the end")
     p.add_argument("--resume", help="load state snapshot before running")
     p.add_argument("--quiet", action="store_true")
@@ -138,6 +143,12 @@ def main(argv=None):
 
         recorder = TrajectoryRecorder(args.record)
 
+    args.live_viz = None
+    if args.viz_every:
+        from stereo_visual_slam_tpu.pipeline.viz import LiveViz
+
+        args.live_viz = LiveViz(args.viz_dir, every=args.viz_every)
+
     if args.driver == "chunked":
         runner = _run_chunked
     else:
@@ -194,6 +205,7 @@ def _run_chunked(args, cfg, source, n_frames, mesh, recorder):
     if args.resume:
         slam.load_snapshot(args.resume)
 
+    live_viz = getattr(args, "live_viz", None)
     seen = 0  # stats entries already reported
     t0 = time.perf_counter()
     for f, left, right in source:
@@ -201,11 +213,15 @@ def _run_chunked(args, cfg, source, n_frames, mesh, recorder):
             break
         slam.process(f, left, right)
         seen = _report_chunked(slam, seen, recorder, args.quiet)
+        if live_viz is not None and slam.stats:
+            live_viz.tick(slam, slam.stats[-1]["frame_id"])
         if slam.lost:
             print("tracking LOST", file=sys.stderr)
             break
     slam.finish()
     _report_chunked(slam, seen, recorder, args.quiet)
+    if live_viz is not None and slam.stats:
+        live_viz.tick(slam, slam.stats[-1]["frame_id"], force=True)
     wall = time.perf_counter() - t0
 
     n_done = len(slam.stats)

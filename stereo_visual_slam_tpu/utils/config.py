@@ -175,10 +175,10 @@ class BAConfig:
     # these TPU-tuned maxima measure bit-identical trajectory error on the
     # synthetic benchmark at ~1.3x the throughput. Use
     # `reference_ba_schedule()` for the exact reference counts.
-    classify_iters: int = 4
+    classify_iters: int = 2
     classify_passes: int = 1
-    full_iters: int = 6
-    pose_only_iters: int = 4
+    full_iters: int = 5
+    pose_only_iters: int = 3
     # Early exit: stop once an accepted LM step improves cost by < rel_tol
     # (iteration counts above become MAXIMA; warm-started windows converge
     # in 1-3 iterations). Step-direction matmuls run at `matmul_precision`

@@ -171,3 +171,17 @@ def test_staged_run_matches_streaming():
     assert [s["state"] for s in staged.stats] == [
         s["state"] for s in streaming.stats
     ]
+
+    # bounded stage-ahead (the long-dataset mode: at most window_chunks
+    # buffers in device memory) is bit-identical too
+    rolling = ChunkedSlam(cfg, chunk=6)
+    rolling.run_rolling(frames, window_chunks=2)
+    rolling.finish()
+    assert sorted(rolling.estimates) == sorted(staged.estimates)
+    for f in staged.estimates:
+        np.testing.assert_array_equal(
+            rolling.estimates[f], staged.estimates[f]
+        )
+    assert [s["state"] for s in rolling.stats] == [
+        s["state"] for s in staged.stats
+    ]

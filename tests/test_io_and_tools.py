@@ -91,19 +91,24 @@ def test_kitti_reader(mini_kitti):
     assert seq2.n_frames == 4
 
 
-def test_cli_driver_on_kitti(mini_kitti, tmp_path):
+def test_cli_driver_on_kitti(mini_kitti, tmp_path, monkeypatch):
     from stereo_visual_slam_tpu import run_vslam
 
+    # shallow fetch trail so per-frame records (and thus viz ticks) arrive
+    # while the 4-frame run is still going (default trails 3 chunks)
+    monkeypatch.setenv("SVS_FETCH_BEHIND", "1")
     root, world = mini_kitti
     pose_out = str(tmp_path / "traj.txt")
     plot_out = str(tmp_path / "traj.png")
     ply_out = str(tmp_path / "map.ply")
     rec_out = str(tmp_path / "frames.jsonl")
+    viz_dir = str(tmp_path / "live")
     rc = run_vslam.main(
         [
             "--dataset", root, "--sequence", "07",
             "--pose-out", pose_out, "--lookahead", "0", "--quiet",
             "--plot", plot_out, "--ply", ply_out, "--record", rec_out,
+            "--chunk", "2", "--viz-every", "2", "--viz-dir", viz_dir,
             "--cpu",
         ]
     )
@@ -118,6 +123,18 @@ def test_cli_driver_on_kitti(mini_kitti, tmp_path):
 
     lines = [json.loads(l) for l in open(rec_out)]
     assert len(lines) >= 3
+
+    # live viz channel (--viz-every): the three reference channels emitted
+    # PERIODICALLY during the run — multiple distinct cloud snapshots and
+    # pose/keyframe JSONL entries, not one post-hoc artifact
+    clouds = sorted(
+        f for f in os.listdir(viz_dir) if f.startswith("cloud_")
+    )
+    assert len(clouds) >= 2, clouds
+    live = [json.loads(l) for l in open(os.path.join(viz_dir, "live.jsonl"))]
+    assert len(live) >= 2
+    assert "keyframes" in live[0] and "n_landmarks" in live[0]
+    assert live[0]["frame_id"] < live[-1]["frame_id"]
 
 
 # ---------------- snapshot / resume ----------------

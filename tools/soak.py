@@ -76,15 +76,22 @@ def main():
     rss0 = rss_mb()
     t0 = time.perf_counter()
     last_report = t0
+    live_high_water = 0
+    chunk_walls = []  # (frame, wall time) marks for flat-pace check
     for f in range(n_frames):
         left, right = synthetic.render_frame(world, f)
         slam.process(f, left, right)
         if slam.lost:
             break
         now = time.perf_counter()
+        if f % 512 == 511:
+            chunk_walls.append((f, now - t0))
         if now - last_report > 60:
+            live_now = int(slam.map.alive.sum())
+            live_high_water = max(live_high_water, live_now)
             print(f"# frame {f}: {f/(now-t0):.1f} fps wall, "
-                  f"rss +{rss_mb()-rss0:.0f} MB", flush=True)
+                  f"arena {live_now} live, rss +{rss_mb()-rss0:.0f} MB",
+                  flush=True)
             last_report = now
     slam.finish()
     wall = time.perf_counter() - t0
@@ -105,6 +112,7 @@ def main():
     # arena health: live rows bounded below capacity at the end
     m = slam.map
     live = int(m.alive.sum())
+    live_high_water = max(live_high_water, live)
     L = cfg.ba.max_landmarks
 
     ok = True
@@ -135,15 +143,52 @@ def main():
     check(t_last <= max(2.0 * t_first, 1.0),
           f"drift stable (first third {t_first:.2f}%, last {t_last:.2f}%)")
 
+    # flat-pace check: wall fps of the last quarter vs the first quarter
+    pace = None
+    if len(chunk_walls) >= 8:
+        q = len(chunk_walls) // 4
+        (f0, t0a), (f1, t1a) = chunk_walls[0], chunk_walls[q]
+        (f2, t2a), (f3, t3a) = chunk_walls[-q - 1], chunk_walls[-1]
+        fps_first = (f1 - f0) / max(t1a - t0a, 1e-9)
+        fps_last = (f3 - f2) / max(t3a - t2a, 1e-9)
+        pace = dict(fps_first=round(fps_first, 1), fps_last=round(fps_last, 1))
+        check(fps_last >= 0.7 * fps_first,
+              f"per-chunk pace flat ({fps_first:.1f} -> {fps_last:.1f} fps)")
+
     print(
         f"SOAK {'PASS' if ok else 'FAIL'}: {n_frames} frames in {wall:.0f}s "
         f"({n_frames/wall:.1f} fps incl. host render), {n_kf} keyframes, "
         f"trans={t_all:.2f}% rot={r_all:.4f}deg/m ate="
-        f"{traj_mod.ate_rmse(est, gt):.2f}m rss+{rss_growth:.0f}MB",
+        f"{traj_mod.ate_rmse(est, gt):.2f}m rss+{rss_growth:.0f}MB "
+        f"arena_hw={live_high_water} evictions={len(slam._evictions)}",
         flush=True,
     )
 
+    import json
     import os
+
+    artifact = os.environ.get("SOAK_JSON", "")
+    if artifact:
+        with open(artifact, "w") as fh:
+            json.dump(dict(
+                n_frames=n_frames,
+                n_tracked=n_tracked,
+                n_rejected=n_rej,
+                n_keyframes=n_kf,
+                n_evictions=len(slam._evictions),
+                arena_high_water=live_high_water,
+                arena_capacity=L,
+                lost=bool(slam.lost),
+                trans_pct=round(float(t_all), 3),
+                rot_deg_per_m=round(float(r_all), 5),
+                ate_m=round(float(traj_mod.ate_rmse(est, gt)), 3),
+                wall_s=round(wall, 1),
+                fps_wall=round(n_frames / wall, 2),
+                pace=pace,
+                rss_growth_mb=round(rss_growth, 0),
+                ok=bool(ok),
+            ), fh, indent=1)
+        print(f"# artifact written to {artifact}", flush=True)
 
     if os.environ.get("SOAK_DUMP"):
         with open(os.environ["SOAK_DUMP"], "w") as fh:
