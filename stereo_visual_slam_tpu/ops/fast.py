@@ -114,21 +114,33 @@ def nms_topk(
         yx = jnp.stack([top_idx // W, top_idx % W], axis=-1)
         return top_scores, yx.astype(jnp.int32)
     H2, W2 = H // 2, W // 2
-    s4 = score.reshape(*lead, H2, 2, W2, 2)
-    a = s4[..., 0, :, 0]
-    b = s4[..., 0, :, 1]
-    c = s4[..., 1, :, 0]
-    d = s4[..., 1, :, 1]
-    pooled = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
-    off = jnp.where(
-        a == pooled,
-        0,
-        jnp.where(b == pooled, 1, jnp.where(c == pooled, 2, 3)),
-    ).astype(jnp.int32)
+    # 2x2 max-pool via reduce_window, NOT strided slicing: when the score
+    # map comes from the Pallas kernel, a TopK custom call or strided-view
+    # max reading that buffer directly runs ~3x slower (26 vs 9 ms/chunk
+    # for detect, tools/micro_topk.py rows N/Q/S); reduce_window produces a
+    # fresh well-laid-out pooled buffer that TopK consumes at full speed.
+    window = (1,) * len(lead) + (2, 2)
+    pooled = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, window, window, "VALID"
+    )
     top_scores, top_idx = jax.lax.top_k(pooled.reshape(*lead, H2 * W2), k)
-    sel = jnp.take_along_axis(off.reshape(*lead, H2 * W2), top_idx, axis=-1)
-    y = 2 * (top_idx // W2) + sel // 2
-    x = 2 * (top_idx % W2) + (sel & 1)
+    # resolve the winning pixel inside each selected 2x2 block by gathering
+    # its sub-scores (tie order a, b, c, d = raster) — k tiny gathers
+    # instead of materializing a dense M-sized `off` map
+    y2 = top_idx // W2
+    x2 = top_idx % W2
+    base = (2 * y2) * W + 2 * x2
+    sflat = score.reshape(*lead, H * W)
+    ga = jnp.take_along_axis(sflat, base, axis=-1)
+    gb = jnp.take_along_axis(sflat, base + 1, axis=-1)
+    gc = jnp.take_along_axis(sflat, base + W, axis=-1)
+    sel = jnp.where(
+        ga == top_scores,
+        0,
+        jnp.where(gb == top_scores, 1, jnp.where(gc == top_scores, 2, 3)),
+    )
+    y = 2 * y2 + sel // 2
+    x = 2 * x2 + (sel & 1)
     return top_scores, jnp.stack([y, x], axis=-1).astype(jnp.int32)
 
 

@@ -213,8 +213,10 @@ def _run_chunked(args, cfg, source, n_frames, mesh, recorder):
             break
         slam.process(f, left, right)
         seen = _report_chunked(slam, seen, recorder, args.quiet)
-        if live_viz is not None and slam.stats:
-            live_viz.tick(slam, slam.stats[-1]["frame_id"])
+        if live_viz is not None:
+            # cadence keyed on FED frames (deterministic), snapshotting the
+            # live map/pose state as of whatever records have arrived
+            live_viz.tick(slam, f)
         if slam.lost:
             print("tracking LOST", file=sys.stderr)
             break

@@ -142,6 +142,131 @@ def main():
 
     loop_time(p_nms_topk, "J nms_topk current (8,384,1280)")
 
+    # ---- all 8 pyramid levels, separated: score maps vs nms_topk ----
+    from stereo_visual_slam_tpu.models import frontend as frontend_mod
+    from stereo_visual_slam_tpu.utils.config import Config
+
+    cfg = Config()
+    levels = frontend_mod._level_geometry(cfg)
+    pyr = [
+        jnp.asarray(rng.uniform(0, 255, (8 * Hl, Wl)).astype(np.float32))
+        for (_, _, (Hl, Wl), _) in levels
+    ]
+
+    def p_score_all(s):
+        return sum(
+            feed(fast_kernel.fast_nms_score_map(p + s, threshold=20.0))
+            for p in pyr
+        )
+
+    loop_time(p_score_all, "L score maps, ALL 8 levels")
+
+    smaps = [
+        jnp.asarray((rng.random((8, Hl, Wl)) < 0.01).astype(np.float32)
+                    * rng.uniform(1, 200, (8, Hl, Wl)).astype(np.float32))
+        for (_, _, (Hl, Wl), _) in levels
+    ]
+
+    def p_topk_all(s):
+        out = []
+        for i, (_, _, _, budget) in enumerate(levels):
+            ts, yx = fast_ops.nms_topk(smaps[i] + s * 1e-30, budget)
+            out.append(feed(ts, yx.astype(jnp.float32)))
+        return sum(out)
+
+    loop_time(p_topk_all, "M nms_topk, ALL 8 levels (prod budgets)")
+
+    def p_detect_all(s):
+        out = []
+        for i, (_, _, (Hl, Wl), budget) in enumerate(levels):
+            smap = fast_kernel.fast_nms_score_map(
+                (pyr[i] + s), threshold=20.0
+            ).reshape(8, Hl, Wl)
+            ts, yx = fast_ops.nms_topk(smap, budget)
+            out.append(feed(ts, yx.astype(jnp.float32)))
+        return sum(out)
+
+    loop_time(p_detect_all, "N score+topk composed, ALL 8 levels")
+
+    def p_detect_all_barrier(s):
+        out = []
+        for i, (_, _, (Hl, Wl), budget) in enumerate(levels):
+            smap = fast_kernel.fast_nms_score_map(
+                (pyr[i] + s), threshold=20.0
+            ).reshape(8, Hl, Wl)
+            smap = jax.lax.optimization_barrier(smap)
+            ts, yx = fast_ops.nms_topk(smap, budget)
+            out.append(feed(ts, yx.astype(jnp.float32)))
+        return sum(out)
+
+    loop_time(p_detect_all_barrier, "O composed + barrier, ALL 8 levels")
+
+    def p_detect_l0(s):
+        smap = fast_kernel.fast_nms_score_map(
+            pyr[0] + s, threshold=20.0
+        ).reshape(8, levels[0][2][0], levels[0][2][1])
+        ts, yx = fast_ops.nms_topk(smap, levels[0][3])
+        return feed(ts, yx.astype(jnp.float32))
+
+    loop_time(p_detect_l0, "P composed, L0 only")
+
+    def topk_rw(score, k):
+        """nms_topk variant: reduce_window pooling + gather-based off."""
+        B_, H_, W_ = score.shape
+        pooled = jax.lax.reduce_window(
+            score, -jnp.inf, jax.lax.max, (1, 2, 2), (1, 2, 2), "VALID"
+        )
+        W2 = W_ // 2
+        ts, ti = jax.lax.top_k(pooled.reshape(B_, -1), k)
+        y2 = ti // W2
+        x2 = ti % W2
+        base = (2 * y2) * W_ + 2 * x2
+        sflat = score.reshape(B_, H_ * W_)
+        ga = jnp.take_along_axis(sflat, base, axis=-1)
+        gb = jnp.take_along_axis(sflat, base + 1, axis=-1)
+        gc = jnp.take_along_axis(sflat, base + W_, axis=-1)
+        sel = jnp.where(ga == ts, 0,
+                        jnp.where(gb == ts, 1, jnp.where(gc == ts, 2, 3)))
+        y = 2 * y2 + sel // 2
+        x = 2 * x2 + (sel & 1)
+        return ts, jnp.stack([y, x], axis=-1)
+
+    def p_detect_rw(s):
+        out = []
+        for i, (_, _, (Hl, Wl), budget) in enumerate(levels):
+            smap = fast_kernel.fast_nms_score_map(
+                (pyr[i] + s), threshold=20.0
+            ).reshape(8, Hl, Wl)
+            ts, yx = topk_rw(smap, budget)
+            out.append(feed(ts, yx.astype(jnp.float32)))
+        return sum(out)
+
+    loop_time(p_detect_rw, "Q composed reduce_window+gather-off, 8 lv")
+
+    def p_topk_rw_alone(s):
+        out = []
+        for i, (_, _, _, budget) in enumerate(levels):
+            ts, yx = topk_rw(smaps[i] + s * 1e-30, budget)
+            out.append(feed(ts, yx.astype(jnp.float32)))
+        return sum(out)
+
+    loop_time(p_topk_rw_alone, "R rw-topk alone, ALL 8 levels")
+
+    def p_detect_flat(s):
+        # no pooling at all: top_k over the raw (B, H*W) view of the
+        # pallas output — isolates whether the strided 2x2 pooled reads of
+        # the kernel's output buffer are the composition pathology
+        out = []
+        for i, (_, _, (Hl, Wl), budget) in enumerate(levels):
+            smap = fast_kernel.fast_nms_score_map(
+                (pyr[i] + s), threshold=20.0
+            ).reshape(8, Hl * Wl)
+            ts, ti = jax.lax.top_k(smap, budget)
+            out.append(feed(ts, ti.astype(jnp.float32)))
+        return sum(out)
+
+    loop_time(p_detect_flat, "S composed full-map top_k (no pool), 8 lv")
+
     def p_pool_topk(s):
         sc = smap + s * 1e-30
         s4 = sc.reshape(8, H // 2, 2, W // 2, 2)

@@ -14,11 +14,17 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if __name__ == "__main__":
+    # force the 8-virtual-device CPU mesh ONLY when run as a script; other
+    # tools (window_growth.py) import make_window without touching platform
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+    )
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
