@@ -102,6 +102,16 @@ def main():
     from stereo_visual_slam_tpu.utils.config import Config
 
     cfg = Config()
+    if os.environ.get("BENCH_DEGRADE"):
+        # gate self-test (VERDICT r04 weak #3): deliberately cripple the
+        # tracker (1/8th the PnP hypotheses, 1 GN sweep) — the binding
+        # accuracy gates must flip to FAIL on the resulting regression
+        import dataclasses
+
+        cfg = cfg.replace(pnp=dataclasses.replace(
+            cfg.pnp, n_hypotheses=8, gn_iters_refine=0, inlier_px=16.0))
+        print("# BENCH_DEGRADE: PnP crippled on purpose — binding gates "
+              "must FAIL", file=sys.stderr)
     world = synthetic.make_world(cfg, n_frames=n_frames, n_points=8000, seed=0)
     frames = [
         (f, l, r) for f, l, r in synthetic.frames(world)
