@@ -129,8 +129,10 @@ def optimize_pose_only(
         )
         return i + 1, T, lam, cost, done
 
-    lin0 = linearize(problem.T_c_w)
-    cost0 = robust_cost(lin0[0], lin0[2])
+    # residuals only — the first loop iteration re-linearizes at the same
+    # point (see schur_lm: a full Jacobian eval here is pure waste)
+    r0, d0 = residual_cheap(problem.T_c_w)
+    cost0 = robust_cost(r0, d0)
     _, T, lam, cost, _ = jax.lax.while_loop(
         cond_fn, body,
         (jnp.asarray(0, jnp.int32), problem.T_c_w,

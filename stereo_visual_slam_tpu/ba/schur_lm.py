@@ -261,8 +261,11 @@ def lm_optimize(
 
     T0 = problem.T_c_w
     P0 = problem.points
-    lin0 = linearize(T0, P0)
-    cost0 = _robust_cost(lin0[0], problem, huber_delta, lin0[3], axis_name)
+    # initial cost needs residuals only — the first lm_body iteration
+    # linearizes at (T0, P0) anyway, so a full Jacobian eval here would be
+    # pure waste (one (L,K,2,9) materialization per lm_optimize call)
+    r0, d0 = residual_cheap(T0, P0)
+    cost0 = _robust_cost(r0, problem, huber_delta, d0, axis_name)
     lam0 = jnp.asarray(lambda_init, dtype)
     _, T, P, lam, cost, _ = jax.lax.while_loop(
         lm_cond,

@@ -5,10 +5,10 @@ The host's job: stack B frames, upload, dispatch the scanned chunk program
 (models/slam_core.py), and fetch the per-frame records. Every host<->device
 interaction on the TPU tunnel carries a ~25 ms round-trip floor and uploads
 stream at ~1.5 GB/s (tools/profile_hotspots.py / profile_device.py), while
-the compiled chunk program runs at ~7 ms/frame tracking + ~12 ms per
-keyframe of BA, i.e. ~10 ms/frame at the production keyframe mix (measured
-per-phase in docs/PERF.md, tools/profile_production.py) — so ALL transfers
-run on background threads:
+the compiled chunk program runs at ~2.7 ms/frame tracking + ~10 ms per
+keyframe (stereo depth + BA), i.e. ~5.5 ms/frame at the production
+keyframe mix (measured per-phase in docs/PERF.md,
+tools/profile_production.py) — so ALL transfers run on background threads:
 
   * an upload pool assembles + device_puts each chunk's images and sideband
     (frame ids + active mask) ahead of time (depth `prefetch`),
@@ -426,7 +426,7 @@ class ChunkedSlam:
         while self._fetches:
             self._harvest()
 
-    def run_rolling(self, frames, window_chunks: int = 8):
+    def run_rolling(self, frames, window_chunks: int = 8, on_progress=None):
         """Bounded stage-ahead processing: at most `window_chunks` chunk
         buffers live in device memory ahead of dispatch — the dataset mode
         for sequences too long to stage whole (`run(stage=True)` uploads
@@ -436,31 +436,39 @@ class ChunkedSlam:
         interleaving on the half-duplex tunnel channel; on PCIe hosts the
         phasing is irrelevant and this simply bounds memory.
 
+        `frames` may be any iterable of (frame_id, left, right) — a lazy
+        dataset source (e.g. the native prefetching loader behind
+        kitti.Sequence.frames()) is pulled only `window_chunks` chunks
+        ahead, so host memory is bounded too. `on_progress()` is called
+        after each dispatch burst (driver reporting / live viz hook).
+
         Results are bit-identical to run()/run_staged() on the same frames
         (same chunking, same carry sequence).
         """
-        chunks = [
-            frames[i:i + self.chunk]
-            for i in range(0, len(frames), self.chunk)
-        ]
+        import itertools
+
+        it = iter(frames)
         staged: Deque[cf.Future] = collections.deque()
-        i = 0
+        exhausted = False
         low_water = max(1, window_chunks // 2)
-        while (i < len(chunks) or staged) and not self.lost:
+        while (not exhausted or staged) and not self.lost:
             # refill burst: queue uploads until the window is full
-            while i < len(chunks) and len(staged) < window_chunks:
-                staged.append(
-                    self._pool.submit(self._upload_job, chunks[i])
-                )
-                i += 1
+            while not exhausted and len(staged) < window_chunks:
+                chunk = list(itertools.islice(it, self.chunk))
+                if not chunk:
+                    exhausted = True
+                    break
+                staged.append(self._pool.submit(self._upload_job, chunk))
             # dispatch burst: drain to the low-water mark (or dry)
             while staged and not self.lost and (
-                len(staged) > low_water or i >= len(chunks)
+                len(staged) > low_water or exhausted
             ):
                 buf = staged.popleft().result()
                 self._fetches.append(self._pack(self._dispatch(buf)))
                 while len(self._fetches) > self._fetch_behind:
                     self._harvest()
+            if on_progress is not None:
+                on_progress()
         while staged:      # lost mid-run: drain remaining upload futures
             staged.popleft().result()
         while self._fetches:

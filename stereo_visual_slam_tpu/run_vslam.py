@@ -49,6 +49,9 @@ def build_argparser():
     p.add_argument("--pose-out", default="estimated_traj.txt")
     p.add_argument("--no-ba", action="store_true")
     p.add_argument("--driver", choices=("chunked", "host"), default="chunked")
+    p.add_argument("--rolling", type=int, default=0, metavar="K",
+                   help="bounded stage-ahead dataset mode: at most K chunk "
+                        "buffers in device memory (ChunkedSlam.run_rolling)")
     p.add_argument("--chunk", type=int, default=8,
                    help="chunked driver: frames per dispatch")
     p.add_argument("--lookahead", type=int, default=0,
@@ -208,18 +211,39 @@ def _run_chunked(args, cfg, source, n_frames, mesh, recorder):
     live_viz = getattr(args, "live_viz", None)
     seen = 0  # stats entries already reported
     t0 = time.perf_counter()
-    for f, left, right in source:
-        if f >= n_frames:
-            break
-        slam.process(f, left, right)
-        seen = _report_chunked(slam, seen, recorder, args.quiet)
-        if live_viz is not None:
-            # cadence keyed on FED frames (deterministic), snapshotting the
-            # live map/pose state as of whatever records have arrived
-            live_viz.tick(slam, f)
+    if args.rolling:
+        # bounded stage-ahead dataset mode: the lazy source (native
+        # prefetcher behind kitti frames) is pulled K chunks ahead
+        def bounded():
+            for f, left, right in source:
+                if f >= n_frames:
+                    break
+                yield f, left, right
+
+        def progress():
+            nonlocal seen
+            seen = _report_chunked(slam, seen, recorder, args.quiet)
+            if live_viz is not None and slam.stats:
+                live_viz.tick(slam, slam.stats[-1]["frame_id"])
+
+        slam.run_rolling(
+            bounded(), window_chunks=args.rolling, on_progress=progress
+        )
         if slam.lost:
             print("tracking LOST", file=sys.stderr)
-            break
+    else:
+        for f, left, right in source:
+            if f >= n_frames:
+                break
+            slam.process(f, left, right)
+            seen = _report_chunked(slam, seen, recorder, args.quiet)
+            if live_viz is not None:
+                # cadence keyed on FED frames (deterministic), snapshotting
+                # the live map/pose state as of what records have arrived
+                live_viz.tick(slam, f)
+            if slam.lost:
+                print("tracking LOST", file=sys.stderr)
+                break
     slam.finish()
     _report_chunked(slam, seen, recorder, args.quiet)
     if live_viz is not None and slam.stats:

@@ -136,6 +136,25 @@ def test_cli_driver_on_kitti(mini_kitti, tmp_path, monkeypatch):
     assert "keyframes" in live[0] and "n_landmarks" in live[0]
     assert live[0]["frame_id"] < live[-1]["frame_id"]
 
+    # bounded stage-ahead dataset mode (--rolling K) produces the same
+    # trajectory file through the same pipeline
+    pose_roll = str(tmp_path / "traj_rolling.txt")
+    rc = run_vslam.main(
+        [
+            "--dataset", root, "--sequence", "07",
+            "--pose-out", pose_roll, "--quiet", "--rolling", "2",
+            "--chunk", "2", "--cpu",
+        ]
+    )
+    assert rc == 0
+    from stereo_visual_slam_tpu.pipeline import trajectory as traj_mod
+
+    rows_a = traj_mod.read_trajectory(pose_out)
+    rows_b = traj_mod.read_trajectory(pose_roll)
+    assert sorted(rows_a) == sorted(rows_b)
+    for fid in rows_a:
+        np.testing.assert_array_equal(rows_a[fid], rows_b[fid])
+
 
 # ---------------- snapshot / resume ----------------
 

@@ -139,21 +139,20 @@ def main():
     check(n_rej <= n_frames * 0.02, f"rejections rare ({n_rej})")
     check(live < L, f"arena not exhausted ({live}/{L} live rows)")
     n_uploads = -(-len(slam.stats) // chunk)
-    attributed = leak_per_put * n_uploads
-    adj_growth = rss_growth - attributed
-    check(adj_growth < 2000,
-          f"host memory bounded (+{adj_growth:.0f} MB beyond the "
-          f"calibrated axon put retention; raw +{rss_growth:.0f} MB, "
-          f"{attributed:.0f} MB = {n_uploads} uploads x "
-          f"{leak_per_put:.1f} MB attributed to the tunnel client)")
-    # looser RAW cap too: a genuine per-upload pipeline leak must still fail
-    # even if the probe mis-attributes it to the tunnel client (ADVICE r04).
-    # Scaled with uploads: the axon client retains ~payload-size host memory
-    # per device_put (~8 MB/chunk, diagnosed r04) which is inherent to the
-    # dev harness; a real leak well above payload size still trips this.
-    raw_cap = n_uploads * 12 + 2000
-    check(rss_growth < raw_cap,
-          f"raw host rss growth bounded (+{rss_growth:.0f} < {raw_cap} MB)")
+    # The axon tunnel client retains ~payload-size host memory per
+    # device_put (diagnosed r04: absent on the CPU backend, so a harness
+    # artifact, not a pipeline leak). An 8-put probe UNDER-measures the
+    # steady-state retention (r05: probe said 0-2.4 MB/upload, the run
+    # grew 7.8 MB/upload ~= the 7.9 MB chunk payload), so the bound is
+    # payload-anchored instead: growth per upload must stay within 1.5x
+    # the chunk payload + 2 MB — a genuine pipeline leak sits ON TOP of
+    # the retention and trips this.
+    payload_mb = chunk * 2 * H * W / 1e6
+    per_upload = rss_growth / max(n_uploads, 1)
+    check(per_upload < 1.5 * payload_mb + 2.0,
+          f"host memory bounded ({per_upload:.1f} MB/upload over "
+          f"{n_uploads} uploads; payload {payload_mb:.1f} MB/chunk; probe "
+          f"said {leak_per_put:.1f} MB/upload)")
     # binding gate at ~1.5x the reference-scale measured error (r05 soak:
     # 1.67 % over 4,541 frames); reference parity (4.17 %) checked apart
     check(t_all <= 2.5, f"KITTI trans {t_all:.2f}% <= 2.5% (binding gate)")
